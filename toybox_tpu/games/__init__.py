@@ -1,0 +1,22 @@
+"""Game engine registry.
+
+Each module follows the protocol documented in toybox_tpu/games/common.py.
+"""
+
+from toybox_tpu.games import breakout, gridworld
+
+GAMES = {
+    "breakout": breakout,
+    "gridworld": gridworld,
+}
+
+
+def get_game(name: str):
+    try:
+        return GAMES[name]
+    except KeyError:
+        raise ValueError(f"unknown game {name!r}; have {sorted(GAMES)}") from None
+
+
+def register_game(name: str, module) -> None:
+    GAMES[name] = module
