@@ -3,9 +3,10 @@
 Each module follows the protocol documented in toybox_tpu/games/common.py.
 """
 
-from toybox_tpu.games import breakout, gridworld
+from toybox_tpu.games import amidar, breakout, gridworld
 
 GAMES = {
+    "amidar": amidar,
     "breakout": breakout,
     "gridworld": gridworld,
 }

@@ -183,8 +183,10 @@ def _serve_vector(config: Config, idx):
     p = config.ball_start_pos[idx]
     a = config.ball_start_angle[idx] * (math.pi / 180.0)
     speed = config.ball_speed_slow
-    # Matches default JSON: angle 30deg -> velocity (-1.732, 1.0) at speed 2.
-    vel = jnp.stack([-speed * jnp.cos(a), speed * jnp.sin(a)])
+    # Serve launches up into the brick rows (screen +y is down): angle 30deg
+    # from x=24 heads up-right, 150deg from x=216 up-left — the config pairs
+    # start x with an angle pointing toward the board center.
+    vel = jnp.stack([speed * jnp.cos(a), -speed * jnp.sin(a)])
     return p, vel
 
 
