@@ -3,12 +3,13 @@
 Each module follows the protocol documented in toybox_tpu/games/common.py.
 """
 
-from toybox_tpu.games import amidar, breakout, gridworld
+from toybox_tpu.games import amidar, breakout, gridworld, space_invaders
 
 GAMES = {
     "amidar": amidar,
     "breakout": breakout,
     "gridworld": gridworld,
+    "space_invaders": space_invaders,
 }
 
 

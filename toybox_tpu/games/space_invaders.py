@@ -1,0 +1,755 @@
+"""Space Invaders — pure-JAX engine (SoA state, jit/vmap-safe step).
+
+Behavioral contract re-derived from the reference (SURVEY.md §2.1-2.2):
+
+- state/config schemas + defaults:
+  toybox/interventions/defaults/space_invaders_{state,config}_default.json
+  (36 enemies in a 6x6 grid at x=44+32*col, y=31+18*row; points by row
+  [30,30,20,20,10,10]; 3 pixel-destructible 16x18 shields at
+  (84,157),(148,157),(212,157); ship 16x10 at (68,185) speed 3; ufo
+  appearance_counter 500; enemy_shot_delay 50; life_display_timer 128;
+  jitter 0.5; enemy_protocol "TargetPlayer")
+- intervention classes / field lists:
+  toybox/interventions/space_invaders.py (Player/Laser/Ufo/Enemy/
+  EnemiesMovementState expected_keys; get/set_jitter; remove_mothership)
+- live-schema note: the old default JSON stores per-enemy march fields;
+  the live schema centralizes them in `enemies_movement`
+  (space_invaders.py:11-13 reads the live schema at import; SURVEY §2.2)
+
+March cadence, laser speeds, blast patterns and death animations are this
+implementation's own design (Rust internals not observable); all schema
+keys, defaults and the intervention surface match the reference.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from toybox_tpu.core import jsonutil, rng
+from toybox_tpu.core.actions import LEGAL_ACTIONS as _LEGAL
+from toybox_tpu.core.types import Input
+from toybox_tpu.games.common import BOOL, F32, I32, U8
+
+GAME_NAME = "space_invaders"
+WIDTH = 320
+HEIGHT = 210
+LEGAL_ACTIONS = _LEGAL["space_invaders"]
+
+N_ROWS = 6
+N_COLS = 6
+N_ENEMIES = N_ROWS * N_COLS
+ENEMY_X0, ENEMY_Y0 = 44, 31          # formation top-left at game start
+ENEMY_DX, ENEMY_DY = 32, 18          # grid spacing
+ENEMY_W, ENEMY_H = 16, 10            # collision box
+SHIP_Y = 185
+SHIP_W, SHIP_H = 16, 10
+SHIELD_W, SHIELD_H = 16, 18
+N_SHIELDS = 3
+MAX_ENEMY_LASERS = 4
+
+SHIP_LASER_SPEED = 6
+ENEMY_LASER_SPEED = 3
+LASER_W, LASER_H = 2, 8
+
+MARCH_STEP_X = 2                      # formation shift per march tick
+MARCH_STEP_Y = 8                      # drop on direction reversal
+MARCH_LEFT_LIMIT = 8
+MARCH_RIGHT_LIMIT = WIDTH - 8
+ENEMY_FLOOR = SHIP_Y - ENEMY_H        # enemies reaching here end the game
+
+UFO_POINTS = 100
+UFO_SPEED = 2
+UFO_Y = 12
+UFO_RESET = 500
+DEATH_ANIM = 16                       # death animation frames
+SHIP_DEATH_ANIM = 60
+
+LEFT_D, RIGHT_D, UP_D, DOWN_D = 2, 3, 0, 1  # core.types.Direction codes
+
+# Shield alpha mask (18 rows x 16 cols, [y][x]), bit-exact from the
+# reference default state JSON (shields[*].data alpha channel).
+_SHIELD_MASK_STRS = [
+    "0000111111110000",
+    "0000111111110000",
+    "0011111111111100",
+    "0011111111111100",
+    "0011111111111100",
+    "0011111111111100",
+    "0011111111111100",
+    "0011111111111100",
+    "0011111111111100",
+    "0011111111111100",
+    "1111111111111111",
+    "1111111111111111",
+    "1111111111111111",
+    "1111111111111111",
+    "1111111111111111",
+    "1111111111111111",
+    "1111000000001111",
+    "1111000000001111",
+]
+SHIELD_MASK = np.array([[c == "1" for c in row] for row in _SHIELD_MASK_STRS])
+SHIELD_COLOR = np.array([172, 80, 48, 255], np.uint8)
+
+_DEFAULT_CONFIG_JSON = {
+    "jitter": 0.5,
+    "shields": [[84, 157], [148, 157], [212, 157]],
+    "row_scores": [30, 30, 20, 20, 10, 10],
+    "enemy_protocol": "TargetPlayer",
+    "start_lives": 3,
+    "rand": {"state": [14138799424576617778, 15827758918122478082]},
+}
+
+ENEMY_PROTOCOLS = ["TargetPlayer", "Random"]
+
+
+@struct.dataclass
+class Config:
+    jitter: jnp.ndarray          # f32 — enemy-fire randomness knob
+    shield_pos: jnp.ndarray      # i32[N_SHIELDS, 2]
+    row_scores: jnp.ndarray      # i32[N_ROWS]
+    enemy_protocol: jnp.ndarray  # i32 (0 TargetPlayer, 1 Random)
+    start_lives: jnp.ndarray     # i32
+    rand: jnp.ndarray            # u32[4]
+
+
+@struct.dataclass
+class State:
+    score: jnp.ndarray           # i32
+    lives: jnp.ndarray           # i32
+    level: jnp.ndarray           # i32 (levels_completed)
+    rng: jnp.ndarray             # u32[4]
+    life_display_timer: jnp.ndarray  # i32
+    enemy_shot_delay: jnp.ndarray    # i32
+    shot_timer: jnp.ndarray          # i32 countdown to next enemy shot
+    # ship
+    ship_x: jnp.ndarray          # i32
+    ship_y: jnp.ndarray          # i32
+    ship_alive: jnp.ndarray      # bool
+    ship_death_counter: jnp.ndarray  # i32 (-1 = null)
+    ship_death_hit_1: jnp.ndarray    # bool
+    # ship laser (at most one)
+    ship_laser_alive: jnp.ndarray  # bool
+    ship_laser_pos: jnp.ndarray    # i32[2]
+    ship_laser_t: jnp.ndarray      # i32 frames alive
+    # enemy lasers
+    elaser_alive: jnp.ndarray      # bool[L]
+    elaser_pos: jnp.ndarray        # i32[L, 2]
+    elaser_t: jnp.ndarray          # i32[L]
+    # enemies (SoA, id = row * N_COLS + col)
+    enemy_xy: jnp.ndarray          # i32[N, 2]
+    enemy_alive: jnp.ndarray       # bool[N]
+    enemy_death_counter: jnp.ndarray  # i32[N] (-1 = null)
+    # shared march state (live-schema enemies_movement)
+    move_counter: jnp.ndarray      # i32
+    move_dir: jnp.ndarray          # i32 Direction code
+    visual_orientation: jnp.ndarray  # bool
+    # shields: pixel-destructible sprites
+    shield_alpha: jnp.ndarray      # bool[N_SHIELDS, SHIELD_H, SHIELD_W]
+    # ufo
+    ufo_x: jnp.ndarray             # i32
+    ufo_y: jnp.ndarray
+    ufo_appearance_counter: jnp.ndarray  # i32 (-1 = banished)
+    ufo_death_counter: jnp.ndarray       # i32 (-1 = null)
+
+
+def config_from_json(d: dict) -> Config:
+    return Config(
+        jitter=jnp.asarray(d["jitter"], F32),
+        shield_pos=jnp.asarray(d["shields"], I32),
+        row_scores=jnp.asarray(d["row_scores"], I32),
+        enemy_protocol=jnp.asarray(
+            ENEMY_PROTOCOLS.index(d.get("enemy_protocol", "TargetPlayer")), I32),
+        start_lives=jnp.asarray(d["start_lives"], I32),
+        rand=jnp.asarray(rng.from_u64_pair(d["rand"]["state"])),
+    )
+
+
+def default_config() -> Config:
+    return config_from_json(_DEFAULT_CONFIG_JSON)
+
+
+def config_to_json(config: Config) -> dict:
+    return {
+        "jitter": float(config.jitter),
+        "shields": np.asarray(config.shield_pos).tolist(),
+        "row_scores": np.asarray(config.row_scores).tolist(),
+        "enemy_protocol": ENEMY_PROTOCOLS[int(config.enemy_protocol)],
+        "start_lives": int(config.start_lives),
+        "rand": {"state": rng.to_u64_pair(config.rand)},
+    }
+
+
+def _formation_xy():
+    ids = np.arange(N_ENEMIES)
+    row, col = ids // N_COLS, ids % N_COLS
+    return np.stack([ENEMY_X0 + col * ENEMY_DX,
+                     ENEMY_Y0 + row * ENEMY_DY], axis=-1).astype(np.int32)
+
+
+def new_game(config: Config, seed=None) -> State:
+    if seed is None:
+        key = config.rand
+    else:
+        key = rng.seed(jnp.uint32(seed))
+    nshields = config.shield_pos.shape[0]
+    return State(
+        score=jnp.asarray(0, I32),
+        lives=config.start_lives.astype(I32),
+        level=jnp.asarray(0, I32),
+        rng=key,
+        life_display_timer=jnp.asarray(128, I32),
+        enemy_shot_delay=jnp.asarray(50, I32),
+        shot_timer=jnp.asarray(50, I32),
+        ship_x=jnp.asarray(68, I32),
+        ship_y=jnp.asarray(SHIP_Y, I32),
+        ship_alive=jnp.asarray(False, BOOL),
+        ship_death_counter=jnp.asarray(-1, I32),
+        ship_death_hit_1=jnp.asarray(True, BOOL),
+        ship_laser_alive=jnp.asarray(False, BOOL),
+        ship_laser_pos=jnp.zeros(2, I32),
+        ship_laser_t=jnp.asarray(0, I32),
+        elaser_alive=jnp.zeros(MAX_ENEMY_LASERS, BOOL),
+        elaser_pos=jnp.zeros((MAX_ENEMY_LASERS, 2), I32),
+        elaser_t=jnp.zeros(MAX_ENEMY_LASERS, I32),
+        enemy_xy=jnp.asarray(_formation_xy()),
+        enemy_alive=jnp.ones(N_ENEMIES, BOOL),
+        enemy_death_counter=jnp.full(N_ENEMIES, -1, I32),
+        move_counter=jnp.asarray(32, I32),
+        move_dir=jnp.asarray(RIGHT_D, I32),
+        visual_orientation=jnp.asarray(True, BOOL),
+        shield_alpha=jnp.broadcast_to(jnp.asarray(SHIELD_MASK),
+                                      (nshields, SHIELD_H, SHIELD_W)),
+        ufo_x=jnp.asarray(-2, I32),
+        ufo_y=jnp.asarray(UFO_Y, I32),
+        ufo_appearance_counter=jnp.asarray(UFO_RESET, I32),
+        ufo_death_counter=jnp.asarray(-1, I32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Step helpers
+# ---------------------------------------------------------------------------
+
+def _overlap(ax, ay, aw, ah, bx, by, bw, bh):
+    return ((ax < bx + bw) & (ax + aw > bx)
+            & (ay < by + bh) & (ay + ah > by))
+
+
+def _shield_hit_and_damage(config: Config, state: State, lx, ly, from_above,
+                           active):
+    """Test a laser tip against every shield; erode a blast patch on hit.
+
+    Returns (new_alpha, hit_any). lx/ly: laser tip position (x at laser
+    center, y at the leading edge).
+    """
+    alpha = state.shield_alpha
+    n = alpha.shape[0]
+    sx = config.shield_pos[:, 0]
+    sy = config.shield_pos[:, 1]
+    # local pixel coords of the tip within each shield
+    px = lx - sx                                           # [S]
+    py = ly - sy
+    inside = (px >= 0) & (px < SHIELD_W) & (py >= 0) & (py < SHIELD_H)
+    pxc = jnp.clip(px, 0, SHIELD_W - 1)
+    pyc = jnp.clip(py, 0, SHIELD_H - 1)
+    solid = alpha[jnp.arange(n), pyc, pxc]
+    hit = inside & solid & active                          # [S]
+
+    # blast: clear a 4-wide x 6-tall patch at the impact, biased in the
+    # laser's travel direction
+    ys = jax.lax.broadcasted_iota(I32, (SHIELD_H, SHIELD_W), 0)
+    xs = jax.lax.broadcasted_iota(I32, (SHIELD_H, SHIELD_W), 1)
+
+    def blast(al, cx, cy, h):
+        y0 = jnp.where(from_above, cy, cy - 5)
+        m = ((xs >= cx - 1) & (xs <= cx + 2)
+             & (ys >= y0) & (ys < y0 + 6) & h)
+        return al & ~m
+
+    new_alpha = jax.vmap(blast)(alpha, pxc, pyc, hit)
+    return new_alpha, jnp.any(hit)
+
+
+def step(config: Config, state: State, inp: Input) -> State:
+    game_over = state.lives <= 0
+
+    # --- intro / respawn pause: life display timer -----------------------
+    paused = state.life_display_timer > 0
+    state = state.replace(
+        life_display_timer=jnp.maximum(state.life_display_timer - 1, 0))
+    became_ready = paused & (state.life_display_timer == 0)
+    state = state.replace(
+        ship_alive=jnp.where(became_ready & ~game_over, True,
+                             state.ship_alive))
+    run = ~paused & ~game_over
+
+    # --- ship movement ----------------------------------------------------
+    move = (jnp.asarray(inp.right, I32) - jnp.asarray(inp.left, I32)) * 3
+    ship_x = jnp.clip(state.ship_x + jnp.where(run & state.ship_alive, move, 0),
+                      0, WIDTH - SHIP_W)
+    state = state.replace(ship_x=ship_x)
+
+    # --- ship death animation --------------------------------------------
+    dying = state.ship_death_counter >= 0
+    sdc = jnp.where(dying, state.ship_death_counter - 1, -1)
+    respawn = dying & (sdc < 0)
+    state = state.replace(
+        ship_death_counter=sdc,
+        ship_alive=jnp.where(respawn & ~game_over, True, state.ship_alive),
+        ship_x=jnp.where(respawn, 68, ship_x))
+
+    # --- fire ship laser --------------------------------------------------
+    fire = jnp.asarray(inp.button1, BOOL)
+    can_fire = run & state.ship_alive & fire & ~state.ship_laser_alive
+    state = state.replace(
+        ship_laser_alive=state.ship_laser_alive | can_fire,
+        ship_laser_pos=jnp.where(
+            can_fire,
+            jnp.stack([state.ship_x + SHIP_W // 2, state.ship_y - LASER_H]),
+            state.ship_laser_pos),
+        ship_laser_t=jnp.where(can_fire, 0, state.ship_laser_t))
+
+    # --- move lasers ------------------------------------------------------
+    slp = state.ship_laser_pos.at[1].add(
+        jnp.where(run & state.ship_laser_alive, -SHIP_LASER_SPEED, 0))
+    sl_alive = state.ship_laser_alive & (slp[1] + LASER_H > 0)
+    elp = state.elaser_pos.at[:, 1].add(
+        jnp.where(run & state.elaser_alive, ENEMY_LASER_SPEED, 0))
+    el_alive = state.elaser_alive & (elp[:, 1] < HEIGHT)
+    state = state.replace(
+        ship_laser_pos=slp, ship_laser_alive=sl_alive,
+        ship_laser_t=state.ship_laser_t + 1,
+        elaser_pos=elp, elaser_alive=el_alive,
+        elaser_t=state.elaser_t + 1)
+
+    # --- enemy march ------------------------------------------------------
+    n_alive = jnp.sum(state.enemy_alive.astype(I32))
+    mc = state.move_counter - jnp.where(run, 1, 0)
+    tick = run & (mc <= 0)
+    going_right = state.move_dir == RIGHT_D
+    dx = jnp.where(going_right, MARCH_STEP_X, -MARCH_STEP_X)
+    # would any alive enemy cross the margin?
+    ex = state.enemy_xy[:, 0]
+    at_edge = jnp.any(jnp.where(
+        state.enemy_alive,
+        jnp.where(going_right, ex + dx + ENEMY_W > MARCH_RIGHT_LIMIT,
+                  ex + dx < MARCH_LEFT_LIMIT),
+        False))
+    reverse = tick & at_edge
+    shift = jnp.where(tick,
+                      jnp.where(reverse,
+                                jnp.stack([jnp.asarray(0, I32),
+                                           jnp.asarray(MARCH_STEP_Y, I32)]),
+                                jnp.stack([dx, jnp.asarray(0, I32)])),
+                      jnp.zeros(2, I32))
+    enemy_xy = state.enemy_xy + shift[None, :]
+    new_dir = jnp.where(reverse,
+                        jnp.where(going_right, LEFT_D, RIGHT_D),
+                        state.move_dir)
+    # cadence speeds up as the formation thins
+    period = jnp.maximum(2 + n_alive, 4)
+    state = state.replace(
+        enemy_xy=enemy_xy,
+        move_dir=new_dir,
+        move_counter=jnp.where(tick, period, mc),
+        visual_orientation=jnp.where(tick, ~state.visual_orientation,
+                                     state.visual_orientation))
+
+    # enemy death animations
+    edc = jnp.where(state.enemy_death_counter >= 0,
+                    state.enemy_death_counter - 1, -1)
+    state = state.replace(enemy_death_counter=edc)
+
+    # --- enemy fire -------------------------------------------------------
+    st = state.shot_timer - jnp.where(run, 1, 0)
+    do_shoot = run & (st <= 0) & (n_alive > 0)
+    key = state.rng
+    key, u = rng.uniform(key)
+    key, rcol = rng.randint(key, N_COLS)
+    # TargetPlayer: aim at the ship's column with prob (1 - jitter)
+    ship_cx = state.ship_x + SHIP_W // 2
+    coldist = jnp.abs(state.enemy_xy[:, 0] + ENEMY_W // 2 - ship_cx)
+    col_of = jnp.arange(N_ENEMIES, dtype=I32) % N_COLS
+    target_col = col_of[jnp.argmin(jnp.where(state.enemy_alive, coldist, 9999))]
+    random_mode = (config.enemy_protocol == 1) | (u < config.jitter)
+    chosen_col = jnp.where(random_mode, rcol, target_col)
+    # bottom-most alive enemy in the chosen column (fall back to any column)
+    in_col = (col_of == chosen_col) & state.enemy_alive
+    any_in_col = jnp.any(in_col)
+    in_col = jnp.where(any_in_col, in_col, state.enemy_alive)
+    shooter = jnp.argmax(jnp.where(in_col, state.enemy_xy[:, 1], -1))
+    # spawn in a free laser slot
+    free = ~state.elaser_alive
+    slot = jnp.argmax(free)
+    can = do_shoot & jnp.any(free)
+    spawn = jnp.stack([state.enemy_xy[shooter, 0] + ENEMY_W // 2,
+                       state.enemy_xy[shooter, 1] + ENEMY_H])
+    state = state.replace(
+        rng=key,
+        shot_timer=jnp.where(do_shoot, state.enemy_shot_delay, st),
+        elaser_alive=jnp.where(can, state.elaser_alive.at[slot].set(True),
+                               state.elaser_alive),
+        elaser_pos=jnp.where(can, state.elaser_pos.at[slot].set(spawn),
+                             state.elaser_pos),
+        elaser_t=jnp.where(can, state.elaser_t.at[slot].set(0),
+                           state.elaser_t))
+
+    # --- ufo --------------------------------------------------------------
+    uac = state.ufo_appearance_counter
+    flying = (uac == 0) & run
+    uac = jnp.where(run & (uac > 0), uac - 1, uac)
+    ufo_x = jnp.where(flying, state.ufo_x + UFO_SPEED, state.ufo_x)
+    done_fly = flying & (ufo_x > WIDTH)
+    uac = jnp.where(done_fly, UFO_RESET, uac)
+    ufo_x = jnp.where(done_fly, -2, ufo_x)
+    udc = jnp.where(state.ufo_death_counter >= 0,
+                    state.ufo_death_counter - 1, -1)
+    state = state.replace(ufo_x=ufo_x, ufo_appearance_counter=uac,
+                          ufo_death_counter=udc)
+
+    # --- ship laser collisions -------------------------------------------
+    lx = state.ship_laser_pos[0]
+    ly = state.ship_laser_pos[1]
+    sl = state.ship_laser_alive
+
+    # vs enemies (topmost pixel of laser inside enemy box)
+    ehit = (sl & state.enemy_alive
+            & _overlap(lx, ly, LASER_W, LASER_H,
+                       state.enemy_xy[:, 0], state.enemy_xy[:, 1],
+                       ENEMY_W, ENEMY_H))
+    any_ehit = jnp.any(ehit)
+    victim = jnp.argmax(ehit)
+    row_of = jnp.arange(N_ENEMIES, dtype=I32) // N_COLS
+    points = config.row_scores[row_of[victim]]
+    state = state.replace(
+        enemy_alive=state.enemy_alive & ~ehit,
+        enemy_death_counter=jnp.where(
+            any_ehit, state.enemy_death_counter.at[victim].set(DEATH_ANIM),
+            state.enemy_death_counter),
+        score=state.score + jnp.where(any_ehit, points, 0),
+        ship_laser_alive=sl & ~any_ehit)
+
+    # vs ufo
+    sl = state.ship_laser_alive
+    uhit = (sl & flying & ~done_fly
+            & _overlap(lx, ly, LASER_W, LASER_H,
+                       state.ufo_x, state.ufo_y, ENEMY_W, ENEMY_H))
+    state = state.replace(
+        score=state.score + jnp.where(uhit, UFO_POINTS, 0),
+        ufo_death_counter=jnp.where(uhit, DEATH_ANIM, state.ufo_death_counter),
+        ufo_x=jnp.where(uhit, -2, state.ufo_x),
+        ufo_appearance_counter=jnp.where(uhit, UFO_RESET,
+                                         state.ufo_appearance_counter),
+        ship_laser_alive=sl & ~uhit)
+
+    # vs shields
+    sl = state.ship_laser_alive
+    alpha, shit = _shield_hit_and_damage(
+        config, state, lx + LASER_W // 2, ly, jnp.asarray(False), sl)
+    state = state.replace(shield_alpha=alpha, ship_laser_alive=sl & ~shit)
+
+    # --- enemy laser collisions ------------------------------------------
+    elx = state.elaser_pos[:, 0]
+    ely = state.elaser_pos[:, 1]
+
+    # vs shields (tip = bottom of laser)
+    def one_elaser(carry, i):
+        st_alpha, el_alive = carry
+        tmp = state.replace(shield_alpha=st_alpha)
+        a2, hit = _shield_hit_and_damage(
+            config, tmp, elx[i] + LASER_W // 2, ely[i] + LASER_H,
+            jnp.asarray(True), el_alive[i])
+        return (a2, el_alive.at[i].set(el_alive[i] & ~hit)), None
+
+    (alpha, el_alive), _ = jax.lax.scan(
+        one_elaser, (state.shield_alpha, state.elaser_alive),
+        jnp.arange(MAX_ENEMY_LASERS))
+    state = state.replace(shield_alpha=alpha, elaser_alive=el_alive)
+
+    # vs ship
+    ship_hit = jnp.any(
+        state.elaser_alive & state.ship_alive & run
+        & _overlap(elx, ely, LASER_W, LASER_H,
+                   state.ship_x, state.ship_y, SHIP_W, SHIP_H))
+    state = state.replace(
+        lives=jnp.where(ship_hit, state.lives - 1, state.lives),
+        ship_alive=state.ship_alive & ~ship_hit,
+        ship_death_counter=jnp.where(ship_hit, SHIP_DEATH_ANIM,
+                                     state.ship_death_counter),
+        ship_death_hit_1=jnp.where(ship_hit, True, state.ship_death_hit_1),
+        elaser_alive=state.elaser_alive & ~(
+            ship_hit & _overlap(elx, ely, LASER_W, LASER_H,
+                                state.ship_x, state.ship_y, SHIP_W, SHIP_H)))
+
+    # --- enemies reaching the ship row ends the game ----------------------
+    landed = jnp.any(state.enemy_alive
+                     & (state.enemy_xy[:, 1] + ENEMY_H >= ENEMY_FLOOR))
+    state = state.replace(lives=jnp.where(landed & run, 0, state.lives))
+
+    # --- level clear ------------------------------------------------------
+    cleared = run & (jnp.sum(state.enemy_alive.astype(I32)) == 0)
+    nshields = state.shield_alpha.shape[0]
+    state = state.replace(
+        level=jnp.where(cleared, state.level + 1, state.level),
+        enemy_alive=jnp.where(cleared, True, state.enemy_alive),
+        enemy_xy=jnp.where(cleared, jnp.asarray(_formation_xy()),
+                           state.enemy_xy),
+        move_dir=jnp.where(cleared, RIGHT_D, state.move_dir),
+        move_counter=jnp.where(cleared, 32, state.move_counter),
+        shield_alpha=jnp.where(
+            cleared,
+            jnp.broadcast_to(jnp.asarray(SHIELD_MASK),
+                             (nshields, SHIELD_H, SHIELD_W)),
+            state.shield_alpha),
+        elaser_alive=jnp.where(cleared, False, state.elaser_alive),
+        ship_laser_alive=jnp.where(cleared, False, state.ship_laser_alive),
+        life_display_timer=jnp.where(cleared, 128, state.life_display_timer),
+        ship_alive=jnp.where(cleared, False, state.ship_alive),
+    )
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Render
+# ---------------------------------------------------------------------------
+
+SHIP_COLOR = np.array([35, 129, 59, 255], np.uint8)
+ENEMY_COLOR = np.array([200, 200, 200, 255], np.uint8)
+LASER_COLOR = np.array([255, 255, 255, 255], np.uint8)
+UFO_COLOR = np.array([151, 25, 122, 255], np.uint8)
+
+
+def render(config: Config, state: State) -> jnp.ndarray:
+    ys = jax.lax.broadcasted_iota(I32, (HEIGHT, WIDTH), 0)
+    xs = jax.lax.broadcasted_iota(I32, (HEIGHT, WIDTH), 1)
+    img = jnp.zeros((HEIGHT, WIDTH, 4), U8).at[..., 3].set(255)
+
+    def rect(im, x, y, w, h, color, ok):
+        m = ((xs >= x) & (xs < x + w) & (ys >= y) & (ys < y + h) & ok)
+        return jnp.where(m[..., None], jnp.asarray(color, U8), im)
+
+    # shields: scatter the per-shield alpha masks
+    def one_shield(im, args):
+        alpha, pos = args
+        px = xs - pos[0]
+        py = ys - pos[1]
+        inside = (px >= 0) & (px < SHIELD_W) & (py >= 0) & (py < SHIELD_H)
+        solid = alpha[jnp.clip(py, 0, SHIELD_H - 1),
+                      jnp.clip(px, 0, SHIELD_W - 1)]
+        m = inside & solid
+        return jnp.where(m[..., None], jnp.asarray(SHIELD_COLOR, U8), im), None
+
+    img, _ = jax.lax.scan(one_shield, img,
+                          (state.shield_alpha, config.shield_pos))
+
+    # enemies
+    def one_enemy(im, args):
+        xy, alive, dc = args
+        show = alive | (dc >= 0)
+        return rect(im, xy[0], xy[1], ENEMY_W, ENEMY_H, ENEMY_COLOR, show), None
+
+    img, _ = jax.lax.scan(one_enemy, img,
+                          (state.enemy_xy, state.enemy_alive,
+                           state.enemy_death_counter))
+
+    # ufo
+    img = rect(img, state.ufo_x, state.ufo_y, ENEMY_W, ENEMY_H, UFO_COLOR,
+               state.ufo_appearance_counter == 0)
+    # ship
+    img = rect(img, state.ship_x, state.ship_y, SHIP_W, SHIP_H,
+               jnp.asarray([35, 129, 59, 255], U8),
+               state.ship_alive | (state.ship_death_counter >= 0))
+    # lasers
+    img = rect(img, state.ship_laser_pos[0], state.ship_laser_pos[1],
+               LASER_W, LASER_H, LASER_COLOR, state.ship_laser_alive)
+
+    def one_laser(im, args):
+        pos, alive = args
+        return rect(im, pos[0], pos[1], LASER_W, LASER_H, LASER_COLOR,
+                    alive), None
+
+    img, _ = jax.lax.scan(one_laser, img,
+                          (state.elaser_pos, state.elaser_alive))
+    return img
+
+
+# ---------------------------------------------------------------------------
+# JSON codec (live-schema keys; SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+_DIR_NAMES = ["Up", "Down", "Left", "Right"]
+
+
+def _laser_json(pos, t, movement, speed):
+    return {
+        "x": int(pos[0]), "y": int(pos[1]), "w": LASER_W, "h": LASER_H,
+        "t": int(t), "movement": _DIR_NAMES[movement], "speed": speed,
+        "color": {"r": 255, "g": 255, "b": 255, "a": 255},
+    }
+
+
+def state_to_json(config: Config, state: State) -> dict:
+    enemies = []
+    xy = np.asarray(state.enemy_xy)
+    alive = np.asarray(state.enemy_alive)
+    dc = np.asarray(state.enemy_death_counter)
+    rs = np.asarray(config.row_scores)
+    for i in range(N_ENEMIES):
+        row, col = i // N_COLS, i % N_COLS
+        enemies.append({
+            "x": int(xy[i, 0]), "y": int(xy[i, 1]),
+            "row": row, "col": col, "id": i,
+            "alive": bool(alive[i]),
+            "points": int(rs[row]),
+            "death_counter": None if dc[i] < 0 else int(dc[i]),
+        })
+    shields = []
+    sa = np.asarray(state.shield_alpha)
+    sp = np.asarray(config.shield_pos)
+    for s in range(sa.shape[0]):
+        data = [[{"r": int(SHIELD_COLOR[0]), "g": int(SHIELD_COLOR[1]),
+                  "b": int(SHIELD_COLOR[2]),
+                  "a": 255 if sa[s, y, x] else 0}
+                 for x in range(SHIELD_W)] for y in range(SHIELD_H)]
+        shields.append({"x": int(sp[s, 0]), "y": int(sp[s, 1]), "data": data})
+    sdc = int(state.ship_death_counter)
+    udc = int(state.ufo_death_counter)
+    elasers = []
+    ea = np.asarray(state.elaser_alive)
+    ep = np.asarray(state.elaser_pos)
+    et = np.asarray(state.elaser_t)
+    for i in range(MAX_ENEMY_LASERS):
+        if ea[i]:
+            elasers.append(_laser_json(ep[i], et[i], DOWN_D, ENEMY_LASER_SPEED))
+    return {
+        "score": int(state.score),
+        "lives": int(state.lives),
+        "level": int(state.level),
+        "rand": {"state": rng.to_u64_pair(state.rng)},
+        "life_display_timer": int(state.life_display_timer),
+        "enemy_shot_delay": int(state.enemy_shot_delay),
+        "ship": {
+            "x": int(state.ship_x), "y": int(state.ship_y),
+            "w": SHIP_W, "h": SHIP_H, "speed": 3,
+            "color": {"r": 35, "g": 129, "b": 59, "a": 255},
+            "alive": bool(state.ship_alive),
+            "death_counter": None if sdc < 0 else sdc,
+            "death_hit_1": bool(state.ship_death_hit_1),
+        },
+        "ship_laser": (_laser_json(np.asarray(state.ship_laser_pos),
+                                   int(state.ship_laser_t), UP_D,
+                                   SHIP_LASER_SPEED)
+                       if bool(state.ship_laser_alive) else None),
+        "enemy_lasers": elasers,
+        "enemies": enemies,
+        "enemies_movement": {
+            "move_counter": int(state.move_counter),
+            "move_dir": _DIR_NAMES[int(state.move_dir)],
+            "visual_orientation": bool(state.visual_orientation),
+        },
+        "shields": shields,
+        "ufo": {
+            "x": int(state.ufo_x), "y": int(state.ufo_y),
+            "appearance_counter": int(state.ufo_appearance_counter),
+            "death_counter": None if udc < 0 else udc,
+        },
+    }
+
+
+def state_from_json(config: Config, d: dict) -> State:
+    st = new_game(config)
+    xy = np.zeros((N_ENEMIES, 2), np.int32)
+    alive = np.zeros(N_ENEMIES, bool)
+    dc = np.full(N_ENEMIES, -1, np.int32)
+    for e in d["enemies"]:
+        i = int(e["id"])
+        xy[i] = (e["x"], e["y"])
+        alive[i] = bool(e["alive"])
+        if e.get("death_counter") is not None:
+            dc[i] = int(e["death_counter"])
+    nshields = len(d["shields"])
+    sa = np.zeros((nshields, SHIELD_H, SHIELD_W), bool)
+    for s in range(nshields):
+        data = d["shields"][s]["data"]
+        for y in range(min(SHIELD_H, len(data))):
+            for x in range(min(SHIELD_W, len(data[y]))):
+                sa[s, y, x] = data[y][x]["a"] > 0
+
+    ea = np.zeros(MAX_ENEMY_LASERS, bool)
+    ep = np.zeros((MAX_ENEMY_LASERS, 2), np.int32)
+    et = np.zeros(MAX_ENEMY_LASERS, np.int32)
+    for i, l in enumerate(d.get("enemy_lasers", [])[:MAX_ENEMY_LASERS]):
+        ea[i] = True
+        ep[i] = (l["x"], l["y"])
+        et[i] = l.get("t", 0)
+
+    ship = d["ship"]
+    mv = d.get("enemies_movement") or {"move_counter": 32, "move_dir": "Right",
+                                       "visual_orientation": True}
+    sl = d.get("ship_laser")
+    ufo = d["ufo"]
+    return st.replace(
+        score=jnp.asarray(d["score"], I32),
+        lives=jnp.asarray(d["lives"], I32),
+        level=jnp.asarray(d.get("level", d.get("levels_completed", 0)), I32),
+        rng=jnp.asarray(rng.from_u64_pair(d["rand"]["state"])),
+        life_display_timer=jnp.asarray(d["life_display_timer"], I32),
+        enemy_shot_delay=jnp.asarray(d["enemy_shot_delay"], I32),
+        ship_x=jnp.asarray(ship["x"], I32),
+        ship_y=jnp.asarray(ship["y"], I32),
+        ship_alive=jnp.asarray(bool(ship["alive"]), BOOL),
+        ship_death_counter=jnp.asarray(
+            -1 if ship.get("death_counter") is None else ship["death_counter"],
+            I32),
+        ship_death_hit_1=jnp.asarray(bool(ship.get("death_hit_1", False)), BOOL),
+        ship_laser_alive=jnp.asarray(sl is not None, BOOL),
+        ship_laser_pos=jnp.asarray([sl["x"], sl["y"]] if sl else [0, 0], I32),
+        ship_laser_t=jnp.asarray(sl["t"] if sl else 0, I32),
+        elaser_alive=jnp.asarray(ea),
+        elaser_pos=jnp.asarray(ep),
+        elaser_t=jnp.asarray(et),
+        enemy_xy=jnp.asarray(xy),
+        enemy_alive=jnp.asarray(alive),
+        enemy_death_counter=jnp.asarray(dc),
+        move_counter=jnp.asarray(mv["move_counter"], I32),
+        move_dir=jnp.asarray(_DIR_NAMES.index(mv["move_dir"]), I32),
+        visual_orientation=jnp.asarray(bool(mv["visual_orientation"]), BOOL),
+        shield_alpha=jnp.asarray(sa),
+        ufo_x=jnp.asarray(ufo["x"], I32),
+        ufo_y=jnp.asarray(ufo["y"], I32),
+        ufo_appearance_counter=jnp.asarray(ufo["appearance_counter"], I32),
+        ufo_death_counter=jnp.asarray(
+            -1 if ufo.get("death_counter") is None else ufo["death_counter"],
+            I32),
+    )
+
+
+def schema() -> dict:
+    return {
+        "type": "object",
+        "required": ["score", "lives", "level", "rand", "ship", "ship_laser",
+                     "shields", "enemies", "enemies_movement", "enemy_lasers",
+                     "enemy_shot_delay", "ufo", "life_display_timer"],
+    }
+
+
+def query(config: Config, state: State, name: str, args=None):
+    if name == "shield_cell_count":
+        return int(np.asarray(state.shield_alpha).sum())
+    if name == "enemies_remaining":
+        return int(np.asarray(state.enemy_alive).sum())
+    if name == "ship_x":
+        return int(state.ship_x)
+    raise ValueError(f"unknown space_invaders query: {name}")
+
+
+def lives(state: State):
+    return state.lives
+
+
+def score(state: State):
+    return state.score
