@@ -108,7 +108,8 @@ ENEMY_PROTOCOLS = ["TargetPlayer", "Random"]
 
 @struct.dataclass
 class Config:
-    jitter: jnp.ndarray          # f32 — enemy-fire randomness knob
+    # static: exact JSON round-trip; changing it re-inits (config semantics)
+    jitter: float = struct.field(pytree_node=False)
     shield_pos: jnp.ndarray      # i32[N_SHIELDS, 2]
     row_scores: jnp.ndarray      # i32[N_ROWS]
     enemy_protocol: jnp.ndarray  # i32 (0 TargetPlayer, 1 Random)
@@ -158,7 +159,7 @@ class State:
 
 def config_from_json(d: dict) -> Config:
     return Config(
-        jitter=jnp.asarray(d["jitter"], F32),
+        jitter=float(d["jitter"]),
         shield_pos=jnp.asarray(d["shields"], I32),
         row_scores=jnp.asarray(d["row_scores"], I32),
         enemy_protocol=jnp.asarray(
