@@ -1,0 +1,107 @@
+"""RL-ready batched env: the DeepMind preprocessing stack fused on-device.
+
+Replaces the reference's per-process wrapper chain (MaxAndSkipEnv x4 with
+max-pool, WarpFrame 84x84, FrameStack 4, ClipRewardEnv, EpisodicLifeEnv —
+baselines/common/atari_wrappers.py) with batched array ops inside one jit.
+TPU-native win: the engine decouples state stepping from rendering, so only
+the last TWO of every four frames are rasterized (the only ones the
+max-pool can see), instead of all four.
+
+Produces uint8 observations [N, 84, 84, 4].
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from toybox_tpu.envs.batched import BatchedEnvFns, make_batched_env
+from toybox_tpu.games import get_game
+from toybox_tpu.games.common import to_grayscale
+from toybox_tpu.ops import obs as obs_ops
+
+I32 = jnp.int32
+F32 = jnp.float32
+
+
+@struct.dataclass
+class PipelineState:
+    env: Any                 # inner EnvState
+    frames: jnp.ndarray      # uint8[N, 84, 84, 4] frame stack
+    lives: jnp.ndarray       # i32[N] previous lives (episodic-life)
+
+
+def make_rl_env(game_name: str, num_envs: int, config=None, skip: int = 4,
+                frame_size: int = 84, frame_stack: int = 4,
+                episodic_life: bool = True, clip_rewards: bool = True):
+    """Returns BatchedEnvFns-like (reset, step) with DeepMind preprocessing.
+
+    step(state, actions) -> (state, obs[N,84,84,4], reward, done, info)
+    where done marks life loss under episodic_life (the env auto-resets
+    itself on true game over).
+    """
+    module = get_game(game_name)
+    inner = make_batched_env(game_name, num_envs, config=config,
+                             obs_mode="none", auto_reset=True)
+    cfg = config if config is not None else module.default_config()
+
+    def render_gray(game):
+        return jax.vmap(lambda s: to_grayscale(module.render(cfg, s)))(game)
+
+    def warp(frames):
+        return obs_ops.warp_frame(frames, frame_size)
+
+    def reset(seeds):
+        env_state, _ = inner.reset(seeds)
+        frame = warp(render_gray(env_state.game))
+        frames = obs_ops.reset_frame_stack(frame, frame_stack)
+        lives = jax.vmap(module.lives)(env_state.game).astype(I32)
+        return PipelineState(env=env_state, frames=frames, lives=lives), frames
+
+    def step(state: PipelineState, actions):
+        env_state = state.env
+        total_r = jnp.zeros(num_envs, F32)
+        done_any = jnp.zeros(num_envs, jnp.bool_)
+
+        # frames 1..skip-2: state-only steps (no render)
+        for _ in range(max(skip - 2, 0)):
+            env_state, _, r, d, _ = inner.step(env_state, actions)
+            total_r += r
+            done_any |= d
+        # last two frames: render for the max-pool
+        env_state, _, r, d, _ = inner.step(env_state, actions)
+        total_r += r
+        done_any |= d
+        f1 = render_gray(env_state.game)
+        env_state, _, r, d, info = inner.step(env_state, actions)
+        total_r += r
+        done_any |= d
+        f2 = render_gray(env_state.game)
+
+        frame = warp(obs_ops.max_pool_pair(f1, f2))
+        frames = obs_ops.push_frame_stack(state.frames, frame)
+
+        lives = info["lives"]
+        if episodic_life:
+            life_lost = (lives < state.lives) | done_any
+        else:
+            life_lost = done_any
+        # fresh episode (auto-reset or life loss): restart the stack
+        frames = jnp.where(life_lost[:, None, None, None],
+                           obs_ops.reset_frame_stack(frame, frame_stack),
+                           frames)
+
+        reward = obs_ops.clip_reward(total_r) if clip_rewards else total_r
+        new_state = PipelineState(env=env_state, frames=frames, lives=lives)
+        info = dict(info)
+        info["raw_reward"] = total_r
+        return new_state, frames, reward, life_lost, info
+
+    obs_shape = (frame_size, frame_size, frame_stack)
+    return BatchedEnvFns(
+        game_name=game_name, num_envs=num_envs, obs_mode="stacked_gray",
+        reset=reset, step=step, obs_shape=obs_shape,
+        num_actions=inner.num_actions, legal_actions=inner.legal_actions)

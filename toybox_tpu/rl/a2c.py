@@ -1,0 +1,161 @@
+"""A2C — synchronous advantage actor-critic (reference baselines/a2c/a2c.py).
+
+One jitted update: nsteps rollout, n-step discounted returns bootstrapped
+from the value head (a2c/runner.py), single RMSProp gradient step on
+pg_loss - ent_coef*entropy + vf_coef*value_loss with the reference
+defaults (lr 7e-4, nsteps 5, gamma .99, ent .01, vf .5, RMSProp alpha .99
+eps 1e-5, grad clip .5).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from toybox_tpu.envs.pipeline import make_rl_env
+from toybox_tpu.rl.policies import build_policy, pd_from_logits
+from toybox_tpu.rl.ppo import load_params, save_params
+
+F32 = jnp.float32
+
+
+@struct.dataclass
+class A2CState:
+    params: Any
+    opt_state: Any
+    env_state: Any
+    key: jnp.ndarray
+    update: jnp.ndarray
+
+
+def make_a2c(env_fns, *, network="cnn", lr=7e-4, nsteps=5, gamma=0.99,
+             ent_coef=0.01, vf_coef=0.5, max_grad_norm=0.5,
+             alpha=0.99, epsilon=1e-5, total_updates=1,
+             network_kwargs=None):
+    num_envs = env_fns.num_envs
+    module, p_init, p_step, p_value = build_policy(
+        env_fns.obs_shape, env_fns.num_actions, network,
+        **(network_kwargs or {}))
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.scale_by_rms(decay=alpha, eps=epsilon),
+        optax.scale(-1.0),
+    )
+
+    def init_fn(seed=0):
+        key = jax.random.PRNGKey(seed)
+        key, pkey, ekey = jax.random.split(key, 3)
+        params = p_init(pkey)
+        seeds = (jax.random.randint(ekey, (num_envs,), 0, 2**31 - 1)
+                 .astype(jnp.uint32))
+        env_state, _ = env_fns.reset(seeds)
+        st = A2CState(params=params, opt_state=tx.init(params),
+                      env_state=env_state, key=key,
+                      update=jnp.asarray(0, jnp.int32))
+        return jax.tree_util.tree_map(jnp.array, st)
+
+    def train_step(state: A2CState):
+        frac = jnp.maximum(
+            1.0 - state.update.astype(F32) / max(total_updates, 1), 0.01)
+        lrnow = lr * frac
+
+        def body(carry, _):
+            env_state, key = carry
+            obs = env_state.frames
+            key, akey = jax.random.split(key)
+            actions, values, _, _ = p_step(state.params, obs, akey)
+            env_state, _, rewards, dones, info = env_fns.step(env_state,
+                                                              actions)
+            return (env_state, key), (obs, actions, rewards, dones,
+                                      info["episode_return"])
+
+        (env_state, key), (obs, actions, rewards, dones, ep_ret) = \
+            jax.lax.scan(body, (state.env_state, state.key), None,
+                         length=nsteps)
+
+        last_value = p_value(state.params, env_state.frames)
+
+        def disc(next_ret, t):
+            r, d = t
+            ret = r + gamma * next_ret * (1.0 - d.astype(F32))
+            return ret, ret
+
+        _, returns = jax.lax.scan(disc, last_value, (rewards, dones),
+                                  reverse=True)
+
+        def fl(x):
+            return x.reshape((nsteps * num_envs,) + x.shape[2:])
+
+        def loss_fn(params):
+            logits, vpred = module.apply(params, fl(obs))
+            pd = pd_from_logits(env_fns.num_actions, logits)
+            neglogp = pd.neglogp(fl(actions))
+            adv = fl(returns) - vpred
+            pg_loss = jnp.mean(jax.lax.stop_gradient(adv) * neglogp)
+            vf_loss = 0.5 * jnp.mean(jnp.square(vpred - fl(returns)))
+            entropy = jnp.mean(pd.entropy())
+            loss = pg_loss - entropy * ent_coef + vf_loss * vf_coef
+            return loss, dict(policy_loss=pg_loss, value_loss=vf_loss,
+                              policy_entropy=entropy)
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(lambda u: u * lrnow, updates)
+        params = optax.apply_updates(state.params, updates)
+
+        done_eps = ~jnp.isnan(ep_ret)
+        n_eps = jnp.sum(done_eps.astype(F32))
+        metrics["eprewmean"] = jnp.where(
+            n_eps > 0, jnp.nansum(jnp.where(done_eps, ep_ret, 0.0)) / n_eps,
+            jnp.nan)
+        metrics["episodes"] = n_eps
+        return A2CState(params=params, opt_state=opt_state,
+                        env_state=env_state, key=key,
+                        update=state.update + 1), metrics
+
+    return init_fn, train_step
+
+
+def learn(*, env=None, game="breakout", num_envs=16, total_timesteps=10_000,
+          seed=0, network="cnn", nsteps=5, gamma=0.99, ent_coef=0.01,
+          vf_coef=0.5, lr=7e-4, max_grad_norm=0.5, log_interval=100,
+          save_path=None, load_path=None, logger=None, network_kwargs=None,
+          **_ignored):
+    env_fns = env if env is not None else make_rl_env(game, num_envs)
+    nbatch = env_fns.num_envs * nsteps
+    total_updates = max(int(total_timesteps) // (nbatch * 4), 1)
+
+    init_fn, train_step = make_a2c(
+        env_fns, network=network, lr=lr, nsteps=nsteps, gamma=gamma,
+        ent_coef=ent_coef, vf_coef=vf_coef, max_grad_norm=max_grad_norm,
+        total_updates=total_updates, network_kwargs=network_kwargs)
+
+    state = init_fn(seed)
+    if load_path is not None:
+        state = state.replace(params=load_params(load_path, state.params))
+
+    step_jit = jax.jit(train_step, donate_argnums=(0,))
+    t0 = time.perf_counter()
+    for update in range(1, total_updates + 1):
+        state, metrics = step_jit(state)
+        if logger is not None and update % log_interval == 0:
+            m = jax.device_get(metrics)
+            logger.logkv("nupdates", update)
+            logger.logkv("total_timesteps", update * nbatch * 4)
+            logger.logkv("fps",
+                         int(update * nbatch * 4 /
+                             (time.perf_counter() - t0)))
+            for k, v in m.items():
+                logger.logkv(k, float(v))
+            logger.dumpkvs()
+    jax.block_until_ready(state.params)
+    if save_path is not None:
+        save_params(save_path, state.params)
+    return state

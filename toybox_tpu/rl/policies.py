@@ -1,0 +1,78 @@
+"""PolicyWithValue — flax head over a trunk network (reference
+baselines/common/policies.py:13-115 + build_policy:117-).
+
+The module produces (pd, value); ``step``/``value`` become pure functions
+of (params, obs, key) suitable for jit/scan, replacing TF session calls.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from toybox_tpu.rl.distributions import make_pdtype
+from toybox_tpu.rl.models import get_network_builder
+
+
+class PolicyWithValue(nn.Module):
+    trunk: nn.Module
+    n_pdparams: int
+    pd_builder: Callable = None
+    estimate_q: bool = False
+    n_value: int = 1
+
+    @nn.compact
+    def __call__(self, obs):
+        latent = self.trunk(obs)
+        logits = nn.Dense(self.n_pdparams,
+                          kernel_init=nn.initializers.orthogonal(0.01),
+                          bias_init=nn.initializers.zeros)(latent)
+        if self.estimate_q:
+            value = nn.Dense(self.n_pdparams)(latent)
+        else:
+            value = nn.Dense(self.n_value,
+                             kernel_init=nn.initializers.orthogonal(1.0),
+                             bias_init=nn.initializers.zeros)(latent)
+            value = value[..., 0] if self.n_value == 1 else value
+        return logits, value
+
+
+def build_policy(obs_shape, action_space, network="cnn", **network_kwargs):
+    """Returns (module, init_fn, step_fn, value_fn).
+
+    - init_fn(key) -> params
+    - step_fn(params, obs, key) -> (actions, values, neglogps, logits)
+    - value_fn(params, obs) -> values
+    """
+    n_pdparams, pd_builder = make_pdtype(action_space)
+    trunk = get_network_builder(network)(**network_kwargs)
+    module = PolicyWithValue(trunk=trunk, n_pdparams=n_pdparams,
+                             pd_builder=pd_builder)
+
+    def init_fn(key):
+        dummy = jnp.zeros((1,) + tuple(obs_shape), jnp.uint8)
+        return module.init(key, dummy)
+
+    def apply_fn(params, obs):
+        return module.apply(params, obs)
+
+    def step_fn(params, obs, key):
+        logits, value = module.apply(params, obs)
+        pd = pd_builder(logits)
+        actions = pd.sample(key)
+        neglogp = pd.neglogp(actions)
+        return actions, value, neglogp, logits
+
+    def value_fn(params, obs):
+        _, value = module.apply(params, obs)
+        return value
+
+    return module, init_fn, step_fn, value_fn
+
+
+def pd_from_logits(action_space, logits):
+    _, pd_builder = make_pdtype(action_space)
+    return pd_builder(logits)

@@ -1,0 +1,161 @@
+"""Training CLI — reference baselines/run.py surface:
+
+    python -m toybox_tpu.run --alg=ppo --env=BreakoutToyboxNoFrameskip-v4 \
+        --num_timesteps=1e6 [--num_envs=64] [--save_path=...] [--play]
+
+Maps the reference's env-id convention onto the batched device envs
+(game name extracted from <Game>ToyboxNoFrameskip-v4), resolves per-alg
+defaults (reference run.py:158-170), passes --key=value extras through to
+learn() (run.py:172-179), and supports --play rollouts after training
+(run.py:211-246).
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import re
+import sys
+
+GAME_IDS = {
+    "breakout": "breakout",
+    "amidar": "amidar",
+    "spaceinvaders": "space_invaders",
+    "space_invaders": "space_invaders",
+    "gridworld": "gridworld",
+}
+
+ALG_DEFAULTS = {
+    # reference ppo2/defaults.py:13-20
+    "ppo": dict(nsteps=128, nminibatches=4, lam=0.95, gamma=0.99,
+                noptepochs=4, ent_coef=0.01, lr=2.5e-4, cliprange=0.1,
+                network="cnn"),
+    "ppo2": "ppo",
+    # reference a2c defaults
+    "a2c": dict(nsteps=5, gamma=0.99, ent_coef=0.01, lr=7e-4,
+                network="cnn"),
+    # reference deepq/defaults.py:1-17
+    "deepq": dict(network="conv_only", lr=1e-4, buffer_size=10000,
+                  exploration_fraction=0.1, exploration_final_eps=0.01,
+                  train_freq=4, learning_starts=10000, target_network_update_freq=1000,
+                  gamma=0.99, prioritized_replay=True, dueling=True),
+    "dqn": "deepq",
+}
+
+
+def env_id_to_game(env_id: str) -> str:
+    m = re.match(r"([A-Za-z]+?)(Toybox)?(NoFrameskip|Deterministic)?-v\d+",
+                 env_id)
+    name = (m.group(1) if m else env_id).lower()
+    if name in GAME_IDS:
+        return GAME_IDS[name]
+    raise ValueError(f"unknown env id {env_id!r}")
+
+
+def common_arg_parser():
+    parser = argparse.ArgumentParser(
+        description="toybox_tpu RL trainer (baselines.run surface)")
+    parser.add_argument("--env", type=str,
+                        default="BreakoutToyboxNoFrameskip-v4")
+    parser.add_argument("--alg", type=str, default="ppo")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--num_timesteps", type=float, default=1e6)
+    parser.add_argument("--num_envs", type=int, default=64)
+    parser.add_argument("--network", type=str, default=None)
+    parser.add_argument("--save_path", type=str, default=None)
+    parser.add_argument("--load_path", type=str, default=None)
+    parser.add_argument("--log_path", type=str, default=None)
+    parser.add_argument("--play", action="store_true", default=False)
+    return parser
+
+
+def parse_cmdline_kwargs(args):
+    """--key=value passthrough, values parsed as python literals
+    (reference run.py:172-179)."""
+    def parse(v):
+        try:
+            return ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            return v
+    out = {}
+    for a in args:
+        assert a.startswith("--") and "=" in a, f"bad extra arg {a!r}"
+        k, v = a[2:].split("=", 1)
+        out[k] = parse(v)
+    return out
+
+
+def get_learn_function(alg):
+    spec = ALG_DEFAULTS.get(alg)
+    if isinstance(spec, str):
+        alg = spec
+    if alg in ("ppo", "ppo2"):
+        from toybox_tpu.rl.ppo import learn
+        return learn, dict(ALG_DEFAULTS["ppo"])
+    if alg == "a2c":
+        from toybox_tpu.rl.a2c import learn
+        return learn, dict(ALG_DEFAULTS["a2c"])
+    if alg in ("deepq", "dqn"):
+        from toybox_tpu.rl.dqn import learn
+        return learn, dict(ALG_DEFAULTS["deepq"])
+    raise ValueError(f"unknown alg {alg!r}")
+
+
+def train(args, extra_kwargs):
+    from toybox_tpu.utils import logger as tb_logger
+
+    game = env_id_to_game(args.env)
+    learn, kwargs = get_learn_function(args.alg)
+    kwargs.update(extra_kwargs)
+    if args.network:
+        kwargs["network"] = args.network
+
+    lg = tb_logger.configure(dir=args.log_path)
+    state = learn(game=game, num_envs=args.num_envs,
+                  total_timesteps=int(args.num_timesteps), seed=args.seed,
+                  save_path=args.save_path, load_path=args.load_path,
+                  logger=tb_logger, **kwargs)
+    return state, lg
+
+
+def play(args, state):
+    """Greedy eval rollouts on the batched env (reference run.py:211-246)."""
+    import jax
+    import numpy as np
+
+    from toybox_tpu.envs.pipeline import make_rl_env
+    from toybox_tpu.rl.policies import build_policy
+
+    game = env_id_to_game(args.env)
+    env = make_rl_env(game, 1, episodic_life=False, clip_rewards=False)
+    _, kwargs = get_learn_function(args.alg)
+    network = args.network or kwargs.get("network", "cnn")
+    module, p_init, p_step, _ = build_policy(env.obs_shape, env.num_actions,
+                                             network)
+    params = state.params
+    st, obs = jax.jit(env.reset)(np.zeros(1, np.uint32))
+    step = jax.jit(env.step)
+    key = jax.random.PRNGKey(0)
+    episode_rew = 0.0
+    for _ in range(5000):
+        key, akey = jax.random.split(key)
+        actions, _, _, _ = p_step(params, st.frames, akey)
+        st, obs, rew, done, info = step(st, actions)
+        episode_rew += float(info["raw_reward"][0])
+        if bool(done[0]):
+            print(f"episode_rew={episode_rew}")
+            episode_rew = 0.0
+
+
+def main(argv=None):
+    parser = common_arg_parser()
+    args, unknown = parser.parse_known_args(argv)
+    extra = parse_cmdline_kwargs(unknown)
+    state, lg = train(args, extra)
+    if args.play:
+        play(args, state)
+    return state
+
+
+if __name__ == "__main__":
+    main()
