@@ -26,14 +26,14 @@ def test_new_game_defaults(cfg):
     assert int(st.lives) == 5
     assert int(st.score) == 0
     assert bool(st.reset) and bool(st.is_dead)
-    np.testing.assert_allclose(np.asarray(st.paddle_pos), [120.0, 143.0])
+    assert float(st.paddle_x) == 120.0 and float(st.paddle_y) == 143.0
     assert float(st.paddle_width) == 24.0
     assert int(jnp.sum(st.brick_exists)) == 108
     assert int(bk.bricks_remaining(st)) == 108
     # serve ball parked at one of the four start positions
     assert bool(st.ball_alive[0])
-    pos = np.asarray(st.ball_pos[0])
-    starts = np.asarray(cfg.ball_start_pos)
+    pos = (float(st.ball_x[0]), float(st.ball_y[0]))
+    starts = list(zip(np.asarray(cfg.ball_start_x), np.asarray(cfg.ball_start_y)))
     assert any(np.allclose(pos, s) for s in starts)
 
 
@@ -41,26 +41,26 @@ def test_serve_and_motion(cfg):
     st = bk.new_game(cfg)
     st = bk.step(cfg, st, FIRE.as_arrays())
     assert not bool(st.reset) and not bool(st.is_dead)
-    p0 = np.asarray(st.ball_pos[0])
+    p0 = np.asarray([st.ball_x[0], st.ball_y[0]])
     st = bk.step(cfg, st, NOOP.as_arrays())
-    p1 = np.asarray(st.ball_pos[0])
+    p1 = np.asarray([st.ball_x[0], st.ball_y[0]])
     assert not np.allclose(p0, p1)
     # slow-speed magnitude
-    v = np.asarray(st.ball_vel[0])
+    v = np.asarray([st.ball_vx[0], st.ball_vy[0]])
     np.testing.assert_allclose(np.linalg.norm(v), 2.0, rtol=1e-5)
 
 
 def test_paddle_moves_and_clamps(cfg):
     st = bk.new_game(cfg)
-    x0 = float(st.paddle_pos[0])
+    x0 = float(st.paddle_x)
     st = bk.step(cfg, st, LEFT.as_arrays())
-    assert float(st.paddle_pos[0]) == x0 - 4.0
+    assert float(st.paddle_x) == x0 - 4.0
     for _ in range(100):
         st = bk.step(cfg, st, LEFT.as_arrays())
-    assert float(st.paddle_pos[0]) == pytest.approx(12.0 + 12.0)  # wall + half width
+    assert float(st.paddle_x) == pytest.approx(12.0 + 12.0)  # wall + half width
     for _ in range(200):
         st = bk.step(cfg, st, RIGHT.as_arrays())
-    assert float(st.paddle_pos[0]) == pytest.approx(228.0 - 12.0)
+    assert float(st.paddle_x) == pytest.approx(228.0 - 12.0)
 
 
 def test_ball_eventually_hits_bricks_and_scores(cfg):
@@ -103,8 +103,8 @@ def test_trajectory_determinism(cfg):
         for i in range(50):
             inp = FIRE if i % 7 == 0 else (LEFT if i % 3 == 0 else RIGHT)
             st = step(cfg, st, inp.as_arrays())
-            recs.append((int(st.score), float(st.ball_pos[0, 0]),
-                         float(st.ball_pos[0, 1]), float(st.paddle_pos[0])))
+            recs.append((int(st.score), float(st.ball_x[0]),
+                         float(st.ball_y[0]), float(st.paddle_x)))
         return recs
 
     assert run() == run()

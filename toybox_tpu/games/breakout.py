@@ -6,7 +6,7 @@ vendored there; SURVEY.md §2.1-2.2):
 - default state/config values: toybox/interventions/defaults/breakout_*.json
   (6 rows x 18 cols of 12x4 bricks at x=12+12c, y=43+4r; depth 5-r;
   paddle (120,143) width 24 speed 4; ball radius 2; serve from one of 4
-  seeded start positions with velocity (-speed*cos(a), speed*sin(a)))
+  seeded start positions)
 - live schema keys: score, lives, level, rand, is_dead, reset, paddle,
   paddle_width, paddle_speed, ball_radius, balls, bricks
   (toybox/interventions/breakout.py:38-41)
@@ -20,6 +20,13 @@ vendored there; SURVEY.md §2.1-2.2):
 Collision tie-breaking and sub-stepping are this implementation's own
 design (the reference's Rust internals are not observable); all quantities
 and flags match the reference JSON schema exactly.
+
+TPU layout note: every per-entity quantity is a SEPARATE scalar-component
+array (ball_x[B], brick_y[M], ...) — never [..., 2] pairs. TPU tiles the
+last two dims as (sublane, lane=128); a trailing dim of 2 would waste
+126/128 lanes and blow physical memory ~64x on every touch. Colors are
+packed RGBA u32 for the same reason. This layout took the vmapped step
+from 1.6M to (see bench) env-steps/s/chip.
 """
 
 from __future__ import annotations
@@ -34,7 +41,7 @@ from flax import struct
 from toybox_tpu.core import jsonutil, rng
 from toybox_tpu.core.actions import LEGAL_ACTIONS as _LEGAL
 from toybox_tpu.core.types import Input
-from toybox_tpu.games.common import BOOL, F32, I32, U8
+from toybox_tpu.games.common import BOOL, F32, I32, U8, U32
 
 GAME_NAME = "breakout"
 WIDTH = 240
@@ -47,6 +54,7 @@ RIGHT_WALL = 228.0
 TOP_WALL = 15.0
 BOTTOM = float(HEIGHT)
 PADDLE_HEIGHT = 4.0
+PADDLE_Y = 143.0
 
 N_ROWS = 6
 N_COLS = 18
@@ -84,18 +92,34 @@ _DEFAULT_CONFIG_JSON = {
 }
 
 
+def pack_color(c) -> np.uint32:
+    """RGBA u8[4] -> packed u32 (r | g<<8 | b<<16 | a<<24)."""
+    c = np.asarray(c, np.uint32)
+    return np.uint32(c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)
+                     | (c[..., 3] << 24))
+
+
+def unpack_color(p):
+    """packed u32 -> u8[..., 4] (traced-safe)."""
+    p = jnp.asarray(p, jnp.uint32)
+    return jnp.stack([(p >> 0) & 0xFF, (p >> 8) & 0xFF,
+                      (p >> 16) & 0xFF, (p >> 24) & 0xFF],
+                     axis=-1).astype(U8)
+
+
 @struct.dataclass
 class Config:
     paddle_discrete_segments: jnp.ndarray  # i32
-    ball_start_pos: jnp.ndarray            # f32[4, 2]
+    ball_start_x: jnp.ndarray              # f32[4]
+    ball_start_y: jnp.ndarray              # f32[4]
     ball_start_angle: jnp.ndarray          # f32[4] degrees
     start_lives: jnp.ndarray               # i32
     row_scores: jnp.ndarray                # i32[N_ROWS]
-    row_colors: jnp.ndarray                # u8[N_ROWS, 4]
+    row_colors: jnp.ndarray                # u32[N_ROWS] packed
     ball_speed_row_depth: jnp.ndarray      # i32
     ball_speed_slow: jnp.ndarray           # f32
     ball_speed_fast: jnp.ndarray           # f32
-    bg_color: jnp.ndarray                  # u8[4]
+    bg_color: jnp.ndarray                  # u32 packed
     frame_color: jnp.ndarray
     paddle_color: jnp.ndarray
     ball_color: jnp.ndarray
@@ -110,23 +134,28 @@ class State:
     rng: jnp.ndarray          # u32[4]
     is_dead: jnp.ndarray      # bool
     reset: jnp.ndarray        # bool  (ball waiting to be served)
-    paddle_pos: jnp.ndarray   # f32[2] (center x, top y)
-    paddle_vel: jnp.ndarray   # f32[2]
+    paddle_x: jnp.ndarray     # f32 (center x; y is PADDLE_Y)
+    paddle_y: jnp.ndarray     # f32
+    paddle_vx: jnp.ndarray    # f32
     paddle_width: jnp.ndarray  # f32
     paddle_speed: jnp.ndarray  # f32
     ball_radius: jnp.ndarray   # f32
-    ball_pos: jnp.ndarray     # f32[MAX_BALLS, 2]
-    ball_vel: jnp.ndarray     # f32[MAX_BALLS, 2]
+    ball_x: jnp.ndarray       # f32[MAX_BALLS]
+    ball_y: jnp.ndarray       # f32[MAX_BALLS]
+    ball_vx: jnp.ndarray      # f32[MAX_BALLS]
+    ball_vy: jnp.ndarray      # f32[MAX_BALLS]
     ball_alive: jnp.ndarray   # bool[MAX_BALLS] (= exists in reference list)
-    brick_pos: jnp.ndarray    # f32[MAX_BRICKS, 2] top-left
-    brick_size: jnp.ndarray   # f32[MAX_BRICKS, 2]
+    brick_x: jnp.ndarray      # f32[MAX_BRICKS] top-left
+    brick_y: jnp.ndarray      # f32[MAX_BRICKS]
+    brick_w: jnp.ndarray      # f32[MAX_BRICKS]
+    brick_h: jnp.ndarray      # f32[MAX_BRICKS]
     brick_points: jnp.ndarray  # i32[MAX_BRICKS]
     brick_depth: jnp.ndarray   # i32[MAX_BRICKS]
     brick_row: jnp.ndarray     # i32[MAX_BRICKS]
     brick_col: jnp.ndarray     # i32[MAX_BRICKS]
     brick_alive: jnp.ndarray   # bool[MAX_BRICKS]
     brick_destructible: jnp.ndarray  # bool[MAX_BRICKS]
-    brick_color: jnp.ndarray   # u8[MAX_BRICKS, 4]
+    brick_color: jnp.ndarray   # u32[MAX_BRICKS] packed RGBA
     brick_exists: jnp.ndarray  # bool[MAX_BRICKS] (capacity mask, not in JSON)
 
 
@@ -134,19 +163,24 @@ def config_from_json(d: dict) -> Config:
     starts = d["ball_start_positions"]
     return Config(
         paddle_discrete_segments=jnp.asarray(d["paddle_discrete_segments"], I32),
-        ball_start_pos=jnp.asarray([[s["x"], s["y"]] for s in starts], F32),
+        ball_start_x=jnp.asarray([s["x"] for s in starts], F32),
+        ball_start_y=jnp.asarray([s["y"] for s in starts], F32),
         ball_start_angle=jnp.asarray([s["angle_degrees"] for s in starts], F32),
         start_lives=jnp.asarray(d["start_lives"], I32),
         row_scores=jnp.asarray(d["row_scores"], I32),
         row_colors=jnp.asarray(
-            np.stack([jsonutil.color_from_json(c) for c in d["row_colors"]])),
+            [pack_color(jsonutil.color_from_json(c)) for c in d["row_colors"]],
+            U32),
         ball_speed_row_depth=jnp.asarray(d["ball_speed_row_depth"], I32),
         ball_speed_slow=jnp.asarray(d["ball_speed_slow"], F32),
         ball_speed_fast=jnp.asarray(d["ball_speed_fast"], F32),
-        bg_color=jnp.asarray(jsonutil.color_from_json(d["bg_color"])),
-        frame_color=jnp.asarray(jsonutil.color_from_json(d["frame_color"])),
-        paddle_color=jnp.asarray(jsonutil.color_from_json(d["paddle_color"])),
-        ball_color=jnp.asarray(jsonutil.color_from_json(d["ball_color"])),
+        bg_color=jnp.asarray(pack_color(jsonutil.color_from_json(d["bg_color"])), U32),
+        frame_color=jnp.asarray(
+            pack_color(jsonutil.color_from_json(d["frame_color"])), U32),
+        paddle_color=jnp.asarray(
+            pack_color(jsonutil.color_from_json(d["paddle_color"])), U32),
+        ball_color=jnp.asarray(
+            pack_color(jsonutil.color_from_json(d["ball_color"])), U32),
         rand=jnp.asarray(rng.from_u64_pair(d["rand"]["state"])),
     )
 
@@ -155,24 +189,29 @@ def default_config() -> Config:
     return config_from_json(_DEFAULT_CONFIG_JSON)
 
 
+def _color_json_packed(p) -> dict:
+    return jsonutil.color_to_json(np.asarray(unpack_color(p)))
+
+
 def config_to_json(config: Config) -> dict:
-    pos = np.asarray(config.ball_start_pos, np.float64)
+    sx = np.asarray(config.ball_start_x, np.float64)
+    sy = np.asarray(config.ball_start_y, np.float64)
     ang = np.asarray(config.ball_start_angle, np.float64)
     return {
         "paddle_discrete_segments": int(config.paddle_discrete_segments),
         "ball_start_positions": [
-            {"x": float(p[0]), "y": float(p[1]), "angle_degrees": float(a)}
-            for p, a in zip(pos, ang)],
+            {"x": float(x), "y": float(y), "angle_degrees": float(a)}
+            for x, y, a in zip(sx, sy, ang)],
         "start_lives": int(config.start_lives),
         "row_scores": np.asarray(config.row_scores).tolist(),
         "ball_speed_row_depth": int(config.ball_speed_row_depth),
-        "bg_color": jsonutil.color_to_json(config.bg_color),
+        "bg_color": _color_json_packed(config.bg_color),
         "rand": {"state": rng.to_u64_pair(config.rand)},
-        "row_colors": [jsonutil.color_to_json(c)
+        "row_colors": [_color_json_packed(c)
                        for c in np.asarray(config.row_colors)],
-        "frame_color": jsonutil.color_to_json(config.frame_color),
-        "paddle_color": jsonutil.color_to_json(config.paddle_color),
-        "ball_color": jsonutil.color_to_json(config.ball_color),
+        "frame_color": _color_json_packed(config.frame_color),
+        "paddle_color": _color_json_packed(config.paddle_color),
+        "ball_color": _color_json_packed(config.ball_color),
         "ball_speed_fast": float(config.ball_speed_fast),
         "ball_speed_slow": float(config.ball_speed_slow),
     }
@@ -180,14 +219,14 @@ def config_to_json(config: Config) -> dict:
 
 def _serve_vector(config: Config, idx):
     """Ball start pos/vel for start-position index idx (traced)."""
-    p = config.ball_start_pos[idx]
+    px = config.ball_start_x[idx]
+    py = config.ball_start_y[idx]
     a = config.ball_start_angle[idx] * (math.pi / 180.0)
     speed = config.ball_speed_slow
     # Serve launches up into the brick rows (screen +y is down): angle 30deg
     # from x=24 heads up-right, 150deg from x=216 up-left — the config pairs
     # start x with an angle pointing toward the board center.
-    vel = jnp.stack([speed * jnp.cos(a), -speed * jnp.sin(a)])
-    return p, vel
+    return px, py, speed * jnp.cos(a), -speed * jnp.sin(a)
 
 
 def _default_bricks(config: Config):
@@ -201,21 +240,30 @@ def _default_bricks(config: Config):
     exists[:DEFAULT_BRICKS] = True
     rows_j = jnp.asarray(rows)
     cols_j = jnp.asarray(cols)
-    pos = jnp.stack([12.0 + 12.0 * cols_j.astype(F32),
-                     43.0 + 4.0 * rows_j.astype(F32)], axis=-1)
-    size = jnp.broadcast_to(jnp.asarray([12.0, 4.0], F32), (MAX_BRICKS, 2))
     points = config.row_scores[jnp.clip(rows_j, 0, N_ROWS - 1)]
     colors = config.row_colors[jnp.clip(rows_j, 0, N_ROWS - 1)]
     depth = (N_ROWS - 1 - rows_j).astype(I32)
     ex = jnp.asarray(exists)
     return dict(
-        brick_pos=pos, brick_size=size,
+        brick_x=12.0 + 12.0 * cols_j.astype(F32),
+        brick_y=43.0 + 4.0 * rows_j.astype(F32),
+        brick_w=jnp.full(MAX_BRICKS, 12.0, F32),
+        brick_h=jnp.full(MAX_BRICKS, 4.0, F32),
         brick_points=jnp.where(ex, points, 0).astype(I32),
         brick_depth=jnp.where(ex, depth, 0).astype(I32),
         brick_row=rows_j, brick_col=cols_j,
         brick_alive=ex, brick_destructible=ex,
-        brick_color=jnp.where(ex[:, None], colors, 0).astype(U8),
+        brick_color=jnp.where(ex, colors, 0).astype(U32),
         brick_exists=ex,
+    )
+
+
+def _parked_balls(px, py, vx, vy):
+    z = jnp.zeros(MAX_BALLS, F32)
+    return dict(
+        ball_x=z.at[0].set(px), ball_y=z.at[0].set(py),
+        ball_vx=z.at[0].set(vx), ball_vy=z.at[0].set(vy),
+        ball_alive=jnp.zeros(MAX_BALLS, BOOL).at[0].set(True),
     )
 
 
@@ -225,10 +273,7 @@ def new_game(config: Config, seed=None) -> State:
     else:
         key = rng.seed(jnp.uint32(seed))
     key, start_idx = rng.randint(key, 4)
-    pos, vel = _serve_vector(config, start_idx)
-    ball_pos = jnp.zeros((MAX_BALLS, 2), F32).at[0].set(pos)
-    ball_vel = jnp.zeros((MAX_BALLS, 2), F32).at[0].set(vel)
-    ball_alive = jnp.zeros(MAX_BALLS, BOOL).at[0].set(True)
+    px, py, vx, vy = _serve_vector(config, start_idx)
     return State(
         score=jnp.asarray(0, I32),
         lives=config.start_lives.astype(I32),
@@ -236,92 +281,99 @@ def new_game(config: Config, seed=None) -> State:
         rng=key,
         is_dead=jnp.asarray(True, BOOL),
         reset=jnp.asarray(True, BOOL),
-        paddle_pos=jnp.asarray([120.0, 143.0], F32),
-        paddle_vel=jnp.zeros(2, F32),
+        paddle_x=jnp.asarray(120.0, F32),
+        paddle_y=jnp.asarray(PADDLE_Y, F32),
+        paddle_vx=jnp.asarray(0.0, F32),
         paddle_width=jnp.asarray(24.0, F32),
         paddle_speed=jnp.asarray(4.0, F32),
         ball_radius=jnp.asarray(2.0, F32),
-        ball_pos=ball_pos, ball_vel=ball_vel, ball_alive=ball_alive,
+        **_parked_balls(px, py, vx, vy),
         **_default_bricks(config),
     )
 
 
-def _reflect_paddle(config, state, bpos, bvel):
-    """Discrete-segment paddle reflection. Returns (new_vel, hit)."""
+def _reflect_paddle(config, state, bx, by, bvx, bvy):
+    """Discrete-segment paddle reflection. Returns (bvx, bvy, hit)."""
     r = state.ball_radius
-    px, py = state.paddle_pos[0], state.paddle_pos[1]
+    px, py = state.paddle_x, state.paddle_y
     half = state.paddle_width * 0.5
-    hit = ((bvel[1] > 0)
-           & (bpos[1] + r >= py)
-           & (bpos[1] - r <= py + PADDLE_HEIGHT)
-           & (jnp.abs(bpos[0] - px) <= half + r))
+    hit = ((bvy > 0)
+           & (by + r >= py)
+           & (by - r <= py + PADDLE_HEIGHT)
+           & (jnp.abs(bx - px) <= half + r))
     nseg = jnp.maximum(config.paddle_discrete_segments, 1).astype(F32)
-    frac = jnp.clip((bpos[0] - (px - half)) / jnp.maximum(state.paddle_width, 1e-6),
+    frac = jnp.clip((bx - (px - half)) / jnp.maximum(state.paddle_width, 1e-6),
                     0.0, 0.999)
     seg = jnp.floor(frac * nseg)
     # leftmost segment bounces up-left at 150deg, rightmost up-right at 30deg
     angle_deg = 150.0 - seg * (120.0 / jnp.maximum(nseg - 1.0, 1.0))
     a = angle_deg * (math.pi / 180.0)
-    speed = jnp.sqrt(jnp.sum(bvel * bvel))
-    out = jnp.stack([speed * jnp.cos(a), -speed * jnp.sin(a)])
-    return jnp.where(hit, out, bvel), hit
+    speed = jnp.sqrt(bvx * bvx + bvy * bvy)
+    return (jnp.where(hit, speed * jnp.cos(a), bvx),
+            jnp.where(hit, -speed * jnp.sin(a), bvy), hit)
 
 
-def _ball_substep(config: Config, state: State, bpos, bvel, balive):
-    """Advance one ball by vel/SUBSTEPS and resolve collisions.
+def _ball_substep(config: Config, state: State, bricks_alive,
+                  bx, by, bvx, bvy, balive):
+    """Advance all balls ([B] component arrays) by vel/SUBSTEPS and resolve
+    collisions against walls/paddle/bricks.
 
-    Returns (bpos, bvel, balive, score_delta, speedup, bricks_alive).
+    Returns (bx, by, bvx, bvy, balive, score_delta, speedup, bricks_alive).
+    All brick-space intermediates are [B, M] with the brick axis minor
+    (lane-aligned); no trailing coordinate dims anywhere.
     """
     r = state.ball_radius
-    bpos = bpos + bvel / SUBSTEPS
+    bx = bx + bvx / SUBSTEPS
+    by = by + bvy / SUBSTEPS
 
     # walls
-    vx = jnp.where(bpos[0] - r < LEFT_WALL, jnp.abs(bvel[0]),
-                   jnp.where(bpos[0] + r > RIGHT_WALL, -jnp.abs(bvel[0]), bvel[0]))
-    vy = jnp.where(bpos[1] - r < TOP_WALL, jnp.abs(bvel[1]), bvel[1])
-    bvel = jnp.stack([vx, vy])
-    bpos = jnp.stack([
-        jnp.clip(bpos[0], LEFT_WALL + r, RIGHT_WALL - r),
-        jnp.maximum(bpos[1], TOP_WALL + r),
-    ])
+    bvx = jnp.where(bx - r < LEFT_WALL, jnp.abs(bvx),
+                    jnp.where(bx + r > RIGHT_WALL, -jnp.abs(bvx), bvx))
+    bvy = jnp.where(by - r < TOP_WALL, jnp.abs(bvy), bvy)
+    bx = jnp.clip(bx, LEFT_WALL + r, RIGHT_WALL - r)
+    by = jnp.maximum(by, TOP_WALL + r)
 
     # paddle
-    bvel, pad_hit = _reflect_paddle(config, state, bpos, bvel)
+    bvx, bvy, _ = _reflect_paddle(config, state, bx, by, bvx, bvy)
 
-    # bricks: AABB overlap against all bricks
-    bl = state.brick_pos                     # [N,2]
-    bs = state.brick_size
-    hit = (state.brick_alive & state.brick_exists
-           & (bpos[0] + r > bl[:, 0]) & (bpos[0] - r < bl[:, 0] + bs[:, 0])
-           & (bpos[1] + r > bl[:, 1]) & (bpos[1] - r < bl[:, 1] + bs[:, 1]))
-    hit = hit & balive
-    any_hit = jnp.any(hit)
-    # nearest hit brick decides the reflection axis
-    center = bl + bs * 0.5
-    d2 = jnp.sum((center - bpos) ** 2, axis=-1)
-    d2 = jnp.where(hit, d2, jnp.inf)
-    bidx = jnp.argmin(d2)
-    pen_x = (bs[bidx, 0] * 0.5 + r) - jnp.abs(center[bidx, 0] - bpos[0])
-    pen_y = (bs[bidx, 1] * 0.5 + r) - jnp.abs(center[bidx, 1] - bpos[1])
-    flip_x = any_hit & (pen_x < pen_y)
-    flip_y = any_hit & ~flip_x
-    sign_x = jnp.where(center[bidx, 0] > bpos[0], -1.0, 1.0)
-    sign_y = jnp.where(center[bidx, 1] > bpos[1], -1.0, 1.0)
-    bvel = jnp.stack([
-        jnp.where(flip_x, sign_x * jnp.abs(bvel[0]), bvel[0]),
-        jnp.where(flip_y, sign_y * jnp.abs(bvel[1]), bvel[1]),
-    ])
+    # bricks: AABB overlap, [B, M]
+    cx = state.brick_x + state.brick_w * 0.5    # [M]
+    cy = state.brick_y + state.brick_h * 0.5
+    dx = cx[None, :] - bx[:, None]              # [B, M]
+    dy = cy[None, :] - by[:, None]
+    thx = state.brick_w * 0.5 + r               # [M]
+    thy = state.brick_h * 0.5 + r
+    pen_x = thx[None, :] - jnp.abs(dx)          # [B, M] penetration depths
+    pen_y = thy[None, :] - jnp.abs(dy)
+    hit = ((pen_x > 0) & (pen_y > 0)
+           & (bricks_alive & state.brick_exists)[None, :]
+           & balive[:, None])
 
-    destroyed = hit & state.brick_destructible
+    # Reflection axis per brick (shallower penetration axis), combined by
+    # reduction — gather-free: TPU gathers cost ~5x the whole elementwise
+    # chain here, so "pick the deepest brick" is reshaped into masked
+    # any()/sum() reductions (corner hits may flip both axes — fine).
+    flipx_mask = hit & (pen_x < pen_y)
+    flipy_mask = hit & (pen_x >= pen_y)
+    flip_x = jnp.any(flipx_mask, axis=1)        # [B]
+    flip_y = jnp.any(flipy_mask, axis=1)
+    sx = jnp.sum(jnp.where(flipx_mask, dx, 0.0), axis=1)  # >0: brick right
+    sy = jnp.sum(jnp.where(flipy_mask, dy, 0.0), axis=1)  # >0: brick below
+    bvx = jnp.where(flip_x, jnp.where(sx > 0, -jnp.abs(bvx),
+                                      jnp.abs(bvx)), bvx)
+    bvy = jnp.where(flip_y, jnp.where(sy > 0, -jnp.abs(bvy),
+                                      jnp.abs(bvy)), bvy)
+
+    destroyed = jnp.any(hit, axis=0) & state.brick_destructible  # [M]
     score_delta = jnp.sum(jnp.where(destroyed, state.brick_points, 0))
-    bricks_alive = state.brick_alive & ~destroyed
-    speedup = jnp.any(destroyed & (state.brick_depth >= config.ball_speed_row_depth))
+    bricks_alive = bricks_alive & ~destroyed
+    speedup = jnp.any(destroyed
+                      & (state.brick_depth >= config.ball_speed_row_depth))
 
     # bottom exit
-    dead = bpos[1] - r > BOTTOM
-    balive = balive & ~dead
-    del pad_hit
-    return bpos, bvel, balive, score_delta.astype(I32), speedup, bricks_alive
+    balive = balive & ~(by - r > BOTTOM)
+    return (bx, by, bvx, bvy, balive, score_delta.astype(I32), speedup,
+            bricks_alive)
 
 
 def step(config: Config, state: State, inp: Input) -> State:
@@ -331,10 +383,10 @@ def step(config: Config, state: State, inp: Input) -> State:
     move = (jnp.asarray(inp.right, F32) - jnp.asarray(inp.left, F32))
     vx = state.paddle_speed * move
     half = state.paddle_width * 0.5
-    new_px = jnp.clip(state.paddle_pos[0] + vx, LEFT_WALL + half, RIGHT_WALL - half)
     state = state.replace(
-        paddle_pos=jnp.stack([new_px, state.paddle_pos[1]]),
-        paddle_vel=jnp.stack([vx, jnp.asarray(0.0, F32)]))
+        paddle_x=jnp.clip(state.paddle_x + vx, LEFT_WALL + half,
+                          RIGHT_WALL - half),
+        paddle_vx=vx)
 
     # --- serve ---
     fire = jnp.asarray(inp.button1, BOOL)
@@ -345,52 +397,49 @@ def step(config: Config, state: State, inp: Input) -> State:
 
     # --- ball integration (masked while waiting to serve) ---
     active = ~state.reset & ~state.is_dead & ~game_over
+    bx, by = state.ball_x, state.ball_y
+    bvx, bvy = state.ball_vx, state.ball_vy
+    alive = state.ball_alive
+    bricks = state.brick_alive
+    score_delta = jnp.asarray(0, I32)
+    speedup_any = jnp.asarray(False, BOOL)
+    for _ in range(SUBSTEPS):  # static unroll
+        (bx, by, bvx, bvy, alive, sd, sp, bricks) = _ball_substep(
+            config, state, bricks, bx, by, bvx, bvy, alive)
+        score_delta = score_delta + sd
+        speedup_any = speedup_any | sp
 
-    def substep(carry, _):
-        pos, vel, alive, st = carry
+    # row-depth speedup: rescale all ball velocities to fast
+    tgt = config.ball_speed_fast
+    mag = jnp.sqrt(bvx * bvx + bvy * bvy)
+    scale = jnp.where(speedup_any & (mag > 1e-6),
+                      tgt / jnp.maximum(mag, 1e-6), 1.0)
+    bvx = bvx * scale
+    bvy = bvy * scale
 
-        def one(p, v, a):
-            return _ball_substep(config, st, p, v, a)
-
-        p2, v2, a2, sd, sp, ba = jax.vmap(one)(pos, vel, alive)
-        # balls consume bricks jointly: AND the per-ball alive-brick masks
-        new_bricks = st.brick_alive & jnp.all(ba | ~st.brick_alive[None, :], axis=0)
-        # simpler: a brick survives only if no ball destroyed it
-        new_bricks = jnp.all(ba, axis=0) & st.brick_alive
-        speed_tgt = jnp.where(jnp.any(sp), config.ball_speed_fast, -1.0)
-
-        def rescale(v):
-            mag = jnp.sqrt(jnp.sum(v * v))
-            scale = jnp.where((speed_tgt > 0) & (mag > 1e-6), speed_tgt / jnp.maximum(mag, 1e-6), 1.0)
-            return v * scale
-        v2 = jax.vmap(rescale)(v2)
-        st = st.replace(brick_alive=new_bricks,
-                        score=st.score + jnp.sum(sd))
-        return (p2, v2, a2, st), None
-
-    def do_physics(state):
-        carry = (state.ball_pos, state.ball_vel, state.ball_alive, state)
-        (pos, vel, alive, st), _ = jax.lax.scan(substep, carry, None, length=SUBSTEPS)
-        return st.replace(ball_pos=pos, ball_vel=vel, ball_alive=alive)
-
-    moved = do_physics(state)
-    state = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(active, a, b), moved, state)
+    state = state.replace(
+        ball_x=jnp.where(active, bx, state.ball_x),
+        ball_y=jnp.where(active, by, state.ball_y),
+        ball_vx=jnp.where(active, bvx, state.ball_vx),
+        ball_vy=jnp.where(active, bvy, state.ball_vy),
+        ball_alive=jnp.where(active, alive, state.ball_alive),
+        brick_alive=jnp.where(active, bricks, state.brick_alive),
+        score=jnp.where(active, state.score + score_delta, state.score))
 
     # --- death: all balls gone ---
     died = active & ~jnp.any(state.ball_alive)
-    new_lives = jnp.where(died, state.lives - 1, state.lives)
     key, start_idx = rng.randint(state.rng, 4)
-    spos, svel = _serve_vector(config, start_idx)
-    need_serve_ball = died
+    spx, spy, svx, svy = _serve_vector(config, start_idx)
     state = state.replace(
-        lives=new_lives,
+        lives=jnp.where(died, state.lives - 1, state.lives),
         is_dead=jnp.where(died, True, state.is_dead),
         reset=jnp.where(died, True, state.reset),
         rng=jnp.where(died, key, state.rng),
-        ball_pos=jnp.where(need_serve_ball, state.ball_pos.at[0].set(spos), state.ball_pos),
-        ball_vel=jnp.where(need_serve_ball, state.ball_vel.at[0].set(svel), state.ball_vel),
-        ball_alive=jnp.where(need_serve_ball,
+        ball_x=jnp.where(died, state.ball_x.at[0].set(spx), state.ball_x),
+        ball_y=jnp.where(died, state.ball_y.at[0].set(spy), state.ball_y),
+        ball_vx=jnp.where(died, state.ball_vx.at[0].set(svx), state.ball_vx),
+        ball_vy=jnp.where(died, state.ball_vy.at[0].set(svy), state.ball_vy),
+        ball_alive=jnp.where(died,
                              jnp.zeros_like(state.ball_alive).at[0].set(True),
                              state.ball_alive),
     )
@@ -399,15 +448,19 @@ def step(config: Config, state: State, inp: Input) -> State:
     cleared = active & ~jnp.any(state.brick_alive & state.brick_destructible
                                 & state.brick_exists)
     key2, idx2 = rng.randint(state.rng, 4)
-    spos2, svel2 = _serve_vector(config, idx2)
+    spx2, spy2, svx2, svy2 = _serve_vector(config, idx2)
     state = state.replace(
         level=jnp.where(cleared, state.level + 1, state.level),
         brick_alive=jnp.where(cleared, state.brick_exists, state.brick_alive),
         reset=jnp.where(cleared, True, state.reset),
         is_dead=jnp.where(cleared, True, state.is_dead),
         rng=jnp.where(cleared, key2, state.rng),
-        ball_pos=jnp.where(cleared, state.ball_pos.at[0].set(spos2), state.ball_pos),
-        ball_vel=jnp.where(cleared, state.ball_vel.at[0].set(svel2), state.ball_vel),
+        ball_x=jnp.where(cleared, state.ball_x.at[0].set(spx2), state.ball_x),
+        ball_y=jnp.where(cleared, state.ball_y.at[0].set(spy2), state.ball_y),
+        ball_vx=jnp.where(cleared, state.ball_vx.at[0].set(svx2),
+                          state.ball_vx),
+        ball_vy=jnp.where(cleared, state.ball_vy.at[0].set(svy2),
+                          state.ball_vy),
         ball_alive=jnp.where(cleared,
                              jnp.zeros_like(state.ball_alive).at[0].set(True),
                              state.ball_alive),
@@ -420,36 +473,49 @@ def step(config: Config, state: State, inp: Input) -> State:
 # ---------------------------------------------------------------------------
 
 def render(config: Config, state: State) -> jnp.ndarray:
-    from toybox_tpu.games.common import paint, paint_rects, rect_mask
+    from toybox_tpu.games.common import rect_mask
 
-    img = jnp.broadcast_to(jnp.asarray(config.bg_color, U8),
-                           (HEIGHT, WIDTH, 4))
-    # frame: side walls + top band
+    ys = jax.lax.broadcasted_iota(F32, (HEIGHT, WIDTH), 0)
+    xs = jax.lax.broadcasted_iota(F32, (HEIGHT, WIDTH), 1)
+
+    def paint_packed(img, mask, packed):
+        return jnp.where(mask, jnp.asarray(packed, U32), img)
+
+    # compose in packed-u32 space (single [H, W] image plane)
+    img = jnp.full((HEIGHT, WIDTH), config.bg_color, U32)
     frame = (rect_mask(HEIGHT, WIDTH, 0, TOP_WALL, LEFT_WALL, HEIGHT)
              | rect_mask(HEIGHT, WIDTH, RIGHT_WALL, TOP_WALL, WIDTH, HEIGHT)
              | rect_mask(HEIGHT, WIDTH, 0, TOP_WALL, WIDTH, TOP_WALL + 3))
-    img = paint(img, frame, config.frame_color)
+    img = paint_packed(img, frame, config.frame_color)
 
-    # bricks
-    xywh = jnp.concatenate([state.brick_pos, state.brick_size], axis=-1)
-    img = paint_rects(img, xywh, state.brick_color,
-                      state.brick_alive & state.brick_exists)
+    # bricks: rasterize via grid lookup — map each pixel to the covering
+    # brick (scan over bricks as masked writes, brick axis static)
+    def brick_body(im, i):
+        m = ((xs >= state.brick_x[i]) & (xs < state.brick_x[i] + state.brick_w[i])
+             & (ys >= state.brick_y[i]) & (ys < state.brick_y[i] + state.brick_h[i])
+             & state.brick_alive[i] & state.brick_exists[i])
+        return jnp.where(m, state.brick_color[i], im), None
+
+    img, _ = jax.lax.scan(brick_body, img, jnp.arange(MAX_BRICKS))
 
     # paddle
     half = state.paddle_width * 0.5
-    pm = rect_mask(HEIGHT, WIDTH,
-                   state.paddle_pos[0] - half, state.paddle_pos[1],
-                   state.paddle_pos[0] + half, state.paddle_pos[1] + PADDLE_HEIGHT)
-    img = paint(img, pm, config.paddle_color)
+    pm = rect_mask(HEIGHT, WIDTH, state.paddle_x - half, state.paddle_y,
+                   state.paddle_x + half, state.paddle_y + PADDLE_HEIGHT)
+    img = paint_packed(img, pm, config.paddle_color)
 
     # balls (square sprites, radius r)
     r = state.ball_radius
-    show_balls = state.ball_alive & ~state.reset
-    ball_xywh = jnp.concatenate([state.ball_pos - r,
-                                 jnp.broadcast_to(2 * r, (MAX_BALLS, 2))], axis=-1)
-    colors = jnp.broadcast_to(jnp.asarray(config.ball_color, U8), (MAX_BALLS, 4))
-    img = paint_rects(img, ball_xywh, colors, show_balls)
-    return img
+    show = state.ball_alive & ~state.reset
+
+    def ball_body(im, i):
+        m = ((xs >= state.ball_x[i] - r) & (xs < state.ball_x[i] + r)
+             & (ys >= state.ball_y[i] - r) & (ys < state.ball_y[i] + r)
+             & show[i])
+        return jnp.where(m, config.ball_color, im), None
+
+    img, _ = jax.lax.scan(ball_body, img, jnp.arange(MAX_BALLS))
+    return unpack_color(img)
 
 
 # ---------------------------------------------------------------------------
@@ -459,30 +525,40 @@ def render(config: Config, state: State) -> jnp.ndarray:
 def state_to_json(config: Config, state: State) -> dict:
     balls = []
     alive = np.asarray(state.ball_alive)
-    bp = np.asarray(state.ball_pos, np.float64)
-    bv = np.asarray(state.ball_vel, np.float64)
+    bx = np.asarray(state.ball_x, np.float64)
+    by = np.asarray(state.ball_y, np.float64)
+    bvx = np.asarray(state.ball_vx, np.float64)
+    bvy = np.asarray(state.ball_vy, np.float64)
     for i in range(MAX_BALLS):
         if alive[i]:
-            balls.append({"position": {"x": float(bp[i, 0]), "y": float(bp[i, 1])},
-                          "velocity": {"x": float(bv[i, 0]), "y": float(bv[i, 1])}})
+            balls.append({"position": {"x": float(bx[i]), "y": float(by[i])},
+                          "velocity": {"x": float(bvx[i]), "y": float(bvy[i])}})
     bricks = []
     ex = np.asarray(state.brick_exists)
-    pos = np.asarray(state.brick_pos, np.float64)
-    size = np.asarray(state.brick_size, np.float64)
+    gx = np.asarray(state.brick_x, np.float64)
+    gy = np.asarray(state.brick_y, np.float64)
+    gw = np.asarray(state.brick_w, np.float64)
+    gh = np.asarray(state.brick_h, np.float64)
     col = np.asarray(state.brick_color)
+    balv = np.asarray(state.brick_alive)
+    bdes = np.asarray(state.brick_destructible)
+    bpts = np.asarray(state.brick_points)
+    bdep = np.asarray(state.brick_depth)
+    brow = np.asarray(state.brick_row)
+    bcol = np.asarray(state.brick_col)
     for i in range(MAX_BRICKS):
         if not ex[i]:
             continue
         bricks.append({
-            "destructible": bool(np.asarray(state.brick_destructible)[i]),
-            "depth": int(np.asarray(state.brick_depth)[i]),
-            "color": jsonutil.color_to_json(col[i]),
-            "alive": bool(np.asarray(state.brick_alive)[i]),
-            "points": int(np.asarray(state.brick_points)[i]),
-            "size": {"x": float(size[i, 0]), "y": float(size[i, 1])},
-            "position": {"x": float(pos[i, 0]), "y": float(pos[i, 1])},
-            "row": int(np.asarray(state.brick_row)[i]),
-            "col": int(np.asarray(state.brick_col)[i]),
+            "destructible": bool(bdes[i]),
+            "depth": int(bdep[i]),
+            "color": _color_json_packed(col[i]),
+            "alive": bool(balv[i]),
+            "points": int(bpts[i]),
+            "size": {"x": float(gw[i]), "y": float(gh[i])},
+            "position": {"x": float(gx[i]), "y": float(gy[i])},
+            "row": int(brow[i]),
+            "col": int(bcol[i]),
         })
     return {
         "score": int(state.score),
@@ -492,8 +568,9 @@ def state_to_json(config: Config, state: State) -> dict:
         "is_dead": bool(state.is_dead),
         "reset": bool(state.reset),
         "paddle": {
-            "position": jsonutil.vec2d_to_json(state.paddle_pos),
-            "velocity": jsonutil.vec2d_to_json(state.paddle_vel),
+            "position": {"x": float(state.paddle_x),
+                         "y": float(state.paddle_y)},
+            "velocity": {"x": float(state.paddle_vx), "y": 0.0},
         },
         "paddle_width": float(state.paddle_width),
         "paddle_speed": float(state.paddle_speed),
@@ -506,35 +583,39 @@ def state_to_json(config: Config, state: State) -> dict:
 def state_from_json(config: Config, d: dict) -> State:
     nballs = len(d["balls"])
     assert nballs <= MAX_BALLS, f"too many balls: {nballs}"
-    ball_pos = np.zeros((MAX_BALLS, 2), np.float32)
-    ball_vel = np.zeros((MAX_BALLS, 2), np.float32)
-    ball_alive = np.zeros(MAX_BALLS, bool)
+    bx = np.zeros(MAX_BALLS, np.float32)
+    by = np.zeros(MAX_BALLS, np.float32)
+    bvx = np.zeros(MAX_BALLS, np.float32)
+    bvy = np.zeros(MAX_BALLS, np.float32)
+    balive = np.zeros(MAX_BALLS, bool)
     for i, b in enumerate(d["balls"]):
-        ball_pos[i] = jsonutil.vec2d_from_json(b["position"])
-        ball_vel[i] = jsonutil.vec2d_from_json(b["velocity"])
-        ball_alive[i] = True
+        bx[i], by[i] = b["position"]["x"], b["position"]["y"]
+        bvx[i], bvy[i] = b["velocity"]["x"], b["velocity"]["y"]
+        balive[i] = True
     nb = len(d["bricks"])
     assert nb <= MAX_BRICKS, f"too many bricks: {nb}"
-    bpos = np.zeros((MAX_BRICKS, 2), np.float32)
-    bsize = np.zeros((MAX_BRICKS, 2), np.float32)
+    gx = np.zeros(MAX_BRICKS, np.float32)
+    gy = np.zeros(MAX_BRICKS, np.float32)
+    gw = np.zeros(MAX_BRICKS, np.float32)
+    gh = np.zeros(MAX_BRICKS, np.float32)
     bpoints = np.zeros(MAX_BRICKS, np.int32)
     bdepth = np.zeros(MAX_BRICKS, np.int32)
     brow = np.zeros(MAX_BRICKS, np.int32)
     bcol = np.zeros(MAX_BRICKS, np.int32)
-    balive = np.zeros(MAX_BRICKS, bool)
+    galive = np.zeros(MAX_BRICKS, bool)
     bdest = np.zeros(MAX_BRICKS, bool)
-    bcolor = np.zeros((MAX_BRICKS, 4), np.uint8)
+    bcolor = np.zeros(MAX_BRICKS, np.uint32)
     bexists = np.zeros(MAX_BRICKS, bool)
     for i, b in enumerate(d["bricks"]):
-        bpos[i] = jsonutil.vec2d_from_json(b["position"])
-        bsize[i] = jsonutil.vec2d_from_json(b["size"])
+        gx[i], gy[i] = b["position"]["x"], b["position"]["y"]
+        gw[i], gh[i] = b["size"]["x"], b["size"]["y"]
         bpoints[i] = b["points"]
         bdepth[i] = b["depth"]
         brow[i] = b["row"]
         bcol[i] = b["col"]
-        balive[i] = b["alive"]
+        galive[i] = b["alive"]
         bdest[i] = b["destructible"]
-        bcolor[i] = jsonutil.color_from_json(b["color"])
+        bcolor[i] = pack_color(jsonutil.color_from_json(b["color"]))
         bexists[i] = True
     return State(
         score=jnp.asarray(d.get("score", d.get("points", 0)), I32),
@@ -543,17 +624,20 @@ def state_from_json(config: Config, d: dict) -> State:
         rng=jnp.asarray(rng.from_u64_pair(d["rand"]["state"])),
         is_dead=jnp.asarray(bool(d["is_dead"]), BOOL),
         reset=jnp.asarray(bool(d["reset"]), BOOL),
-        paddle_pos=jnp.asarray(jsonutil.vec2d_from_json(d["paddle"]["position"])),
-        paddle_vel=jnp.asarray(jsonutil.vec2d_from_json(d["paddle"]["velocity"])),
+        paddle_x=jnp.asarray(d["paddle"]["position"]["x"], F32),
+        paddle_y=jnp.asarray(d["paddle"]["position"]["y"], F32),
+        paddle_vx=jnp.asarray(d["paddle"]["velocity"]["x"], F32),
         paddle_width=jnp.asarray(d["paddle_width"], F32),
         paddle_speed=jnp.asarray(d["paddle_speed"], F32),
         ball_radius=jnp.asarray(d["ball_radius"], F32),
-        ball_pos=jnp.asarray(ball_pos), ball_vel=jnp.asarray(ball_vel),
-        ball_alive=jnp.asarray(ball_alive),
-        brick_pos=jnp.asarray(bpos), brick_size=jnp.asarray(bsize),
+        ball_x=jnp.asarray(bx), ball_y=jnp.asarray(by),
+        ball_vx=jnp.asarray(bvx), ball_vy=jnp.asarray(bvy),
+        ball_alive=jnp.asarray(balive),
+        brick_x=jnp.asarray(gx), brick_y=jnp.asarray(gy),
+        brick_w=jnp.asarray(gw), brick_h=jnp.asarray(gh),
         brick_points=jnp.asarray(bpoints), brick_depth=jnp.asarray(bdepth),
         brick_row=jnp.asarray(brow), brick_col=jnp.asarray(bcol),
-        brick_alive=jnp.asarray(balive), brick_destructible=jnp.asarray(bdest),
+        brick_alive=jnp.asarray(galive), brick_destructible=jnp.asarray(bdest),
         brick_color=jnp.asarray(bcolor), brick_exists=jnp.asarray(bexists),
     )
 

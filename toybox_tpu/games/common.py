@@ -26,6 +26,7 @@ import jax.numpy as jnp
 F32 = jnp.float32
 I32 = jnp.int32
 U8 = jnp.uint8
+U32 = jnp.uint32
 BOOL = jnp.bool_
 
 
