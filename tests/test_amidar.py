@@ -47,7 +47,7 @@ def test_new_game_defaults(cfg):
     assert int(st.jumps) == 4
     assert int(st.score) == 0
     # player at tile (31, 15) -> world (1984, 1200) (reference default state)
-    np.testing.assert_array_equal(np.asarray(st.player_pos), [1984, 1200])
+    assert (int(st.player_x), int(st.player_y)) == (1984, 1200)
     assert int(jnp.sum(st.enemy_exists)) == 5
 
 
@@ -86,29 +86,31 @@ def test_player_stops_at_wall(cfg, step):
     # player starts on the right edge column; moving further right is blocked
     from toybox_tpu.core.types import Input as I
     RIGHT_IN = I(right=True).as_arrays()
-    p0 = np.asarray(st.player_pos)
+    p0 = (int(st.player_x), int(st.player_y))
     st = step(cfg, st, RIGHT_IN)
-    np.testing.assert_array_equal(np.asarray(st.player_pos), p0)
+    assert (int(st.player_x), int(st.player_y)) == p0
 
 
 def test_enemies_move(cfg, step):
     st = am.new_game(cfg, seed=0)
-    e0 = np.asarray(st.enemy_pos).copy()
+    e0 = np.stack([np.asarray(st.enemy_x), np.asarray(st.enemy_y)], -1)
     for _ in range(20):
         st = step(cfg, st, NOOP)
-    e1 = np.asarray(st.enemy_pos)
+    e1 = np.stack([np.asarray(st.enemy_x), np.asarray(st.enemy_y)], -1)
     moved = (e0 != e1).any(axis=1)
     assert moved[:5].all(), f"all default enemies should move, got {moved}"
 
 
 def test_enemies_stay_on_track(cfg, step):
     st = am.new_game(cfg, seed=0)
-    walk = np.asarray(cfg.walkable)
+    walk = (np.asarray(cfg.base_tiles) != am.EMPTY).reshape(am.BOARD_H,
+                                                             am.BOARD_W)
     for i in range(120):
         st = step(cfg, st, NOOP)
-        tiles = np.asarray(am.world_to_tile(st.enemy_pos))
+        txs = np.asarray(am._tx_of(st.enemy_x))
+        tys = np.asarray(am._ty_of(st.enemy_y))
         for e in range(5):
-            tx, ty = tiles[e]
+            tx, ty = txs[e], tys[e]
             assert walk[ty, tx], f"enemy {e} off track at {(tx, ty)} frame {i}"
 
 
@@ -155,10 +157,12 @@ def test_trajectory_continues_identically_after_roundtrip(cfg, step):
     for _ in range(25):
         st = step(cfg, st, LEFT)
         st2 = step(cfg, st2, LEFT)
-    np.testing.assert_array_equal(np.asarray(st.player_pos),
-                                  np.asarray(st2.player_pos))
-    np.testing.assert_array_equal(np.asarray(st.enemy_pos),
-                                  np.asarray(st2.enemy_pos))
+    assert int(st.player_x) == int(st2.player_x)
+    assert int(st.player_y) == int(st2.player_y)
+    np.testing.assert_array_equal(np.asarray(st.enemy_x),
+                                  np.asarray(st2.enemy_x))
+    np.testing.assert_array_equal(np.asarray(st.enemy_y),
+                                  np.asarray(st2.enemy_y))
     assert int(st.score) == int(st2.score)
 
 
@@ -169,15 +173,15 @@ def test_determinism_same_seed(cfg, step):
         st1 = step(cfg, st1, UP)
         st2 = step(cfg, st2, UP)
     assert int(st1.score) == int(st2.score)
-    np.testing.assert_array_equal(np.asarray(st1.enemy_pos),
-                                  np.asarray(st2.enemy_pos))
+    np.testing.assert_array_equal(np.asarray(st1.enemy_x),
+                                  np.asarray(st2.enemy_x))
 
 
 def test_box_completion_scores_bonus(cfg):
     """Painting every perimeter tile of a box pays box_bonus."""
     st = am.new_game(cfg, seed=0)
     # paint box 0's perimeter directly in state, then step once
-    mask = np.asarray(cfg.box_masks[0])
+    mask = np.asarray(cfg.box_masks[:, 0]) > 0
     tiles = np.asarray(st.tiles).copy()
     tiles[mask] = am.PAINTED
     st = st.replace(tiles=jnp.asarray(tiles))
@@ -191,9 +195,8 @@ def test_chase_mode_catching(cfg):
     st = am.new_game(cfg, seed=0)
     st = st.replace(chase_timer=jnp.asarray(100, jnp.int32))
     # teleport enemy 0 onto the player
-    epos = np.asarray(st.enemy_pos).copy()
-    epos[0] = np.asarray(st.player_pos)
-    st = st.replace(enemy_pos=jnp.asarray(epos))
+    st = st.replace(enemy_x=st.enemy_x.at[0].set(st.player_x),
+                    enemy_y=st.enemy_y.at[0].set(st.player_y))
     s0 = int(st.score)
     st = am.step(cfg, st, NOOP)
     assert int(st.score) >= s0 + int(cfg.chase_score_bonus)
@@ -203,21 +206,19 @@ def test_chase_mode_catching(cfg):
 
 def test_regular_collision_costs_life(cfg):
     st = am.new_game(cfg, seed=0)
-    epos = np.asarray(st.enemy_pos).copy()
-    epos[0] = np.asarray(st.player_pos)
-    st = st.replace(enemy_pos=jnp.asarray(epos))
+    st = st.replace(enemy_x=st.enemy_x.at[0].set(st.player_x),
+                    enemy_y=st.enemy_y.at[0].set(st.player_y))
     st = am.step(cfg, st, NOOP)
     assert int(st.lives) == 2
     # positions reset
-    np.testing.assert_array_equal(np.asarray(st.player_pos), [1984, 1200])
+    assert (int(st.player_x), int(st.player_y)) == (1984, 1200)
 
 
 def test_jump_protects(cfg):
     st = am.new_game(cfg, seed=0)
     st = st.replace(jump_timer=jnp.asarray(50, jnp.int32))
-    epos = np.asarray(st.enemy_pos).copy()
-    epos[0] = np.asarray(st.player_pos)
-    st = st.replace(enemy_pos=jnp.asarray(epos))
+    st = st.replace(enemy_x=st.enemy_x.at[0].set(st.player_x),
+                    enemy_y=st.enemy_y.at[0].set(st.player_y))
     st = am.step(cfg, st, NOOP)
     assert int(st.lives) == 3
 
@@ -234,10 +235,10 @@ def test_vmap_matches_single(cfg):
         sts = vstep(cfg, sts, UP)
         singles = [sstep(cfg, s, UP) for s in singles]
     for i in range(n):
-        np.testing.assert_array_equal(np.asarray(sts.player_pos[i]),
-                                      np.asarray(singles[i].player_pos))
-        np.testing.assert_array_equal(np.asarray(sts.enemy_pos[i]),
-                                      np.asarray(singles[i].enemy_pos))
+        assert int(sts.player_x[i]) == int(singles[i].player_x)
+        assert int(sts.player_y[i]) == int(singles[i].player_y)
+        np.testing.assert_array_equal(np.asarray(sts.enemy_x[i]),
+                                      np.asarray(singles[i].enemy_x))
 
 
 def test_render_shape_and_content(cfg):

@@ -240,39 +240,39 @@ def _overlap(ax, ay, aw, ah, bx, by, bw, bh):
             & (ay < by + bh) & (ay + ah > by))
 
 
-def _shield_hit_and_damage(config: Config, state: State, lx, ly, from_above,
-                           active):
-    """Test a laser tip against every shield; erode a blast patch on hit.
+def _shields_vs_lasers(config: Config, alpha, lx, ly, from_above, active):
+    """Test L laser tips against all shields at once; erode blast patches.
 
-    Returns (new_alpha, hit_any). lx/ly: laser tip position (x at laser
-    center, y at the leading edge).
+    lx/ly/from_above/active: [L] arrays (tip x at laser center, y at the
+    leading edge). Returns (new_alpha [S,H,W], hit [L]).
+
+    Gather-free: the tip-solidity test and the blast patch are both
+    iota-compare masks over the (tiny) shield sprites — a per-laser scan
+    with dynamic-index gathers was ~5x the cost of the whole engine step.
     """
-    alpha = state.shield_alpha
-    n = alpha.shape[0]
-    sx = config.shield_pos[:, 0]
+    sx = config.shield_pos[:, 0]                 # [S]
     sy = config.shield_pos[:, 1]
-    # local pixel coords of the tip within each shield
-    px = lx - sx                                           # [S]
-    py = ly - sy
+    px = lx[:, None] - sx[None, :]               # [L, S]
+    py = ly[:, None] - sy[None, :]
     inside = (px >= 0) & (px < SHIELD_W) & (py >= 0) & (py < SHIELD_H)
-    pxc = jnp.clip(px, 0, SHIELD_W - 1)
-    pyc = jnp.clip(py, 0, SHIELD_H - 1)
-    solid = alpha[jnp.arange(n), pyc, pxc]
-    hit = inside & solid & active                          # [S]
+
+    ys = jax.lax.broadcasted_iota(I32, (SHIELD_H, SHIELD_W), 0)
+    xs = jax.lax.broadcasted_iota(I32, (SHIELD_H, SHIELD_W), 1)
+    at_tip = ((xs[None, None] == px[:, :, None, None])
+              & (ys[None, None] == py[:, :, None, None]))  # [L,S,H,W]
+    solid = jnp.any(at_tip & alpha[None], axis=(2, 3))     # [L, S]
+    hit = inside & solid & active[:, None]                 # [L, S]
 
     # blast: clear a 4-wide x 6-tall patch at the impact, biased in the
     # laser's travel direction
-    ys = jax.lax.broadcasted_iota(I32, (SHIELD_H, SHIELD_W), 0)
-    xs = jax.lax.broadcasted_iota(I32, (SHIELD_H, SHIELD_W), 1)
-
-    def blast(al, cx, cy, h):
-        y0 = jnp.where(from_above, cy, cy - 5)
-        m = ((xs >= cx - 1) & (xs <= cx + 2)
-             & (ys >= y0) & (ys < y0 + 6) & h)
-        return al & ~m
-
-    new_alpha = jax.vmap(blast)(alpha, pxc, pyc, hit)
-    return new_alpha, jnp.any(hit)
+    y0 = jnp.where(from_above[:, None], py, py - 5)        # [L, S]
+    blast = ((xs[None, None] >= (px - 1)[:, :, None, None])
+             & (xs[None, None] <= (px + 2)[:, :, None, None])
+             & (ys[None, None] >= y0[:, :, None, None])
+             & (ys[None, None] < (y0 + 6)[:, :, None, None])
+             & hit[:, :, None, None])
+    new_alpha = alpha & ~jnp.any(blast, axis=0)
+    return new_alpha, jnp.any(hit, axis=1)
 
 
 def step(config: Config, state: State, inp: Input) -> State:
@@ -447,29 +447,22 @@ def step(config: Config, state: State, inp: Input) -> State:
                                          state.ufo_appearance_counter),
         ship_laser_alive=sl & ~uhit)
 
-    # vs shields
+    # vs shields: all lasers (ship + enemy) against all shields in one
+    # batched gather-free pass
     sl = state.ship_laser_alive
-    alpha, shit = _shield_hit_and_damage(
-        config, state, lx + LASER_W // 2, ly, jnp.asarray(False), sl)
-    state = state.replace(shield_alpha=alpha, ship_laser_alive=sl & ~shit)
-
-    # --- enemy laser collisions ------------------------------------------
     elx = state.elaser_pos[:, 0]
     ely = state.elaser_pos[:, 1]
-
-    # vs shields (tip = bottom of laser)
-    def one_elaser(carry, i):
-        st_alpha, el_alive = carry
-        tmp = state.replace(shield_alpha=st_alpha)
-        a2, hit = _shield_hit_and_damage(
-            config, tmp, elx[i] + LASER_W // 2, ely[i] + LASER_H,
-            jnp.asarray(True), el_alive[i])
-        return (a2, el_alive.at[i].set(el_alive[i] & ~hit)), None
-
-    (alpha, el_alive), _ = jax.lax.scan(
-        one_elaser, (state.shield_alpha, state.elaser_alive),
-        jnp.arange(MAX_ENEMY_LASERS))
-    state = state.replace(shield_alpha=alpha, elaser_alive=el_alive)
+    all_lx = jnp.concatenate([(lx + LASER_W // 2)[None],
+                              elx + LASER_W // 2])
+    all_ly = jnp.concatenate([ly[None], ely + LASER_H])
+    all_above = jnp.concatenate([jnp.asarray([False]),
+                                 jnp.ones(MAX_ENEMY_LASERS, BOOL)])
+    all_active = jnp.concatenate([sl[None], state.elaser_alive])
+    alpha, hits = _shields_vs_lasers(config, state.shield_alpha,
+                                     all_lx, all_ly, all_above, all_active)
+    state = state.replace(shield_alpha=alpha,
+                          ship_laser_alive=sl & ~hits[0],
+                          elaser_alive=state.elaser_alive & ~hits[1:])
 
     # vs ship
     ship_hit = jnp.any(
