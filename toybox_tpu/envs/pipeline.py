@@ -3,11 +3,16 @@
 Replaces the reference's per-process wrapper chain (MaxAndSkipEnv x4 with
 max-pool, WarpFrame 84x84, FrameStack 4, ClipRewardEnv, EpisodicLifeEnv —
 baselines/common/atari_wrappers.py) with batched array ops inside one jit.
-TPU-native win: the engine decouples state stepping from rendering, so only
-the last TWO of every four frames are rasterized (the only ones the
-max-pool can see), instead of all four.
 
-Produces uint8 observations [N, 84, 84, 4].
+TPU-native choices:
+- the engine decouples state stepping from rendering, so only the last TWO
+  of every four frames are rasterized (the only ones the max-pool sees);
+- images stay strictly 2-D per env through the pipeline and the frame
+  stack is CHANNEL-FIRST [N, k, 84, 84] — a trailing channel dim of 1/4
+  would occupy the 128-wide TPU lane slot (~32x physical blowup on every
+  op). Observations are transposed to NHWC only at the policy boundary.
+
+step() returns obs uint8 [N, 84, 84, stack] (NHWC for conv nets).
 """
 
 from __future__ import annotations
@@ -20,7 +25,7 @@ from flax import struct
 
 from toybox_tpu.envs.batched import BatchedEnvFns, make_batched_env
 from toybox_tpu.games import get_game
-from toybox_tpu.games.common import to_grayscale
+from toybox_tpu.games.common import luma2d
 from toybox_tpu.ops import obs as obs_ops
 
 I32 = jnp.int32
@@ -30,8 +35,13 @@ F32 = jnp.float32
 @struct.dataclass
 class PipelineState:
     env: Any                 # inner EnvState
-    frames: jnp.ndarray      # uint8[N, 84, 84, 4] frame stack
+    stack: jnp.ndarray       # uint8[N, k, 84, 84] frame stack (channel-first)
     lives: jnp.ndarray       # i32[N] previous lives (episodic-life)
+
+    @property
+    def frames(self):
+        """Observation view: NHWC uint8 [N, 84, 84, k]."""
+        return jnp.moveaxis(self.stack, 1, -1)
 
 
 def make_rl_env(game_name: str, num_envs: int, config=None, skip: int = 4,
@@ -39,7 +49,7 @@ def make_rl_env(game_name: str, num_envs: int, config=None, skip: int = 4,
                 episodic_life: bool = True, clip_rewards: bool = True):
     """Returns BatchedEnvFns-like (reset, step) with DeepMind preprocessing.
 
-    step(state, actions) -> (state, obs[N,84,84,4], reward, done, info)
+    step(state, actions) -> (state, obs[N,84,84,k], reward, done, info)
     where done marks life loss under episodic_life (the env auto-resets
     itself on true game over).
     """
@@ -49,17 +59,18 @@ def make_rl_env(game_name: str, num_envs: int, config=None, skip: int = 4,
     cfg = config if config is not None else module.default_config()
 
     def render_gray(game):
-        return jax.vmap(lambda s: to_grayscale(module.render(cfg, s)))(game)
+        return jax.vmap(lambda s: luma2d(module.render(cfg, s)))(game)
 
     def warp(frames):
-        return obs_ops.warp_frame(frames, frame_size)
+        return obs_ops.warp_frame2d(frames, frame_size)
 
     def reset(seeds):
         env_state, _ = inner.reset(seeds)
-        frame = warp(render_gray(env_state.game))
-        frames = obs_ops.reset_frame_stack(frame, frame_stack)
+        frame = warp(render_gray(env_state.game))          # [N, 84, 84]
+        stack = jnp.repeat(frame[:, None], frame_stack, axis=1)
         lives = jax.vmap(module.lives)(env_state.game).astype(I32)
-        return PipelineState(env=env_state, frames=frames, lives=lives), frames
+        state = PipelineState(env=env_state, stack=stack, lives=lives)
+        return state, state.frames
 
     def step(state: PipelineState, actions):
         env_state = state.env
@@ -81,8 +92,8 @@ def make_rl_env(game_name: str, num_envs: int, config=None, skip: int = 4,
         done_any |= d
         f2 = render_gray(env_state.game)
 
-        frame = warp(obs_ops.max_pool_pair(f1, f2))
-        frames = obs_ops.push_frame_stack(state.frames, frame)
+        frame = warp(jnp.maximum(f1, f2))                  # [N, 84, 84]
+        stack = jnp.concatenate([state.stack[:, 1:], frame[:, None]], axis=1)
 
         lives = info["lives"]
         if episodic_life:
@@ -90,15 +101,15 @@ def make_rl_env(game_name: str, num_envs: int, config=None, skip: int = 4,
         else:
             life_lost = done_any
         # fresh episode (auto-reset or life loss): restart the stack
-        frames = jnp.where(life_lost[:, None, None, None],
-                           obs_ops.reset_frame_stack(frame, frame_stack),
-                           frames)
+        stack = jnp.where(life_lost[:, None, None, None],
+                          jnp.repeat(frame[:, None], frame_stack, axis=1),
+                          stack)
 
         reward = obs_ops.clip_reward(total_r) if clip_rewards else total_r
-        new_state = PipelineState(env=env_state, frames=frames, lives=lives)
+        new_state = PipelineState(env=env_state, stack=stack, lives=lives)
         info = dict(info)
         info["raw_reward"] = total_r
-        return new_state, frames, reward, life_lost, info
+        return new_state, new_state.frames, reward, life_lost, info
 
     obs_shape = (frame_size, frame_size, frame_stack)
     return BatchedEnvFns(

@@ -472,49 +472,72 @@ def step(config: Config, state: State, inp: Input) -> State:
 # Render
 # ---------------------------------------------------------------------------
 
+# Brick raster geometry: bricks render at their (row, col) grid cells
+# (x = 12 + 12*col, y = 43 + 4*row — the default layout; the reference
+# renderer draws the same grid). MAX_RENDER_ROWS covers add_row overflow.
+MAX_RENDER_ROWS = 24
+BRICK_BAND_Y0 = 43
+BRICK_BAND_H = MAX_RENDER_ROWS * 4      # 96 rows of pixels
+BRICK_CELL_H, BRICK_CELL_W = 4, 12
+
+
+def _brick_grid(state: State) -> jnp.ndarray:
+    """Scatter brick colors into a [MAX_RENDER_ROWS, N_COLS] u32 grid
+    via two one-hot matmuls (MXU) — no gathers/scatters."""
+    rows = jnp.clip(state.brick_row, 0, MAX_RENDER_ROWS - 1)
+    cols = jnp.clip(state.brick_col, 0, N_COLS - 1)
+    show = (state.brick_alive & state.brick_exists).astype(F32)
+    row1h = (rows[:, None] == jnp.arange(MAX_RENDER_ROWS)[None, :])
+    col1h = (cols[:, None] == jnp.arange(N_COLS)[None, :])
+    # color as float exactly represents u24 rgb; alpha folded back after
+    rgb = (state.brick_color & jnp.uint32(0xFFFFFF)).astype(F32) * show
+    grid = jnp.einsum("br,b,bc->rc", row1h.astype(F32), rgb,
+                      col1h.astype(F32), preferred_element_type=F32)
+    occ = jnp.einsum("br,b,bc->rc", row1h.astype(F32), show,
+                     col1h.astype(F32), preferred_element_type=F32)
+    packed = grid.astype(jnp.uint32) | jnp.uint32(0xFF000000)
+    return packed, occ > 0
+
+
 def render(config: Config, state: State) -> jnp.ndarray:
+    """RGBA frame composed in packed-u32 space. Bricks are an upsampled
+    color grid (MXU rasterizer); paddle/balls are iota-compare sprites."""
     from toybox_tpu.games.common import rect_mask
 
     ys = jax.lax.broadcasted_iota(F32, (HEIGHT, WIDTH), 0)
     xs = jax.lax.broadcasted_iota(F32, (HEIGHT, WIDTH), 1)
 
-    def paint_packed(img, mask, packed):
-        return jnp.where(mask, jnp.asarray(packed, U32), img)
-
-    # compose in packed-u32 space (single [H, W] image plane)
     img = jnp.full((HEIGHT, WIDTH), config.bg_color, U32)
     frame = (rect_mask(HEIGHT, WIDTH, 0, TOP_WALL, LEFT_WALL, HEIGHT)
              | rect_mask(HEIGHT, WIDTH, RIGHT_WALL, TOP_WALL, WIDTH, HEIGHT)
              | rect_mask(HEIGHT, WIDTH, 0, TOP_WALL, WIDTH, TOP_WALL + 3))
-    img = paint_packed(img, frame, config.frame_color)
+    img = jnp.where(frame, config.frame_color, img)
 
-    # bricks: rasterize via grid lookup — map each pixel to the covering
-    # brick (scan over bricks as masked writes, brick axis static)
-    def brick_body(im, i):
-        m = ((xs >= state.brick_x[i]) & (xs < state.brick_x[i] + state.brick_w[i])
-             & (ys >= state.brick_y[i]) & (ys < state.brick_y[i] + state.brick_h[i])
-             & state.brick_alive[i] & state.brick_exists[i])
-        return jnp.where(m, state.brick_color[i], im), None
-
-    img, _ = jax.lax.scan(brick_body, img, jnp.arange(MAX_BRICKS))
+    # bricks: [R, C] grid -> upsample x4 x12 -> paste at static offset
+    grid, occ = _brick_grid(state)
+    band_c = jnp.repeat(jnp.repeat(grid, BRICK_CELL_H, axis=0),
+                        BRICK_CELL_W, axis=1)         # [96, 216]
+    band_o = jnp.repeat(jnp.repeat(occ, BRICK_CELL_H, axis=0),
+                        BRICK_CELL_W, axis=1)
+    region = img[BRICK_BAND_Y0:BRICK_BAND_Y0 + BRICK_BAND_H, 12:12 + 216]
+    region = jnp.where(band_o, band_c, region)
+    img = img.at[BRICK_BAND_Y0:BRICK_BAND_Y0 + BRICK_BAND_H,
+                 12:12 + 216].set(region)
 
     # paddle
     half = state.paddle_width * 0.5
     pm = rect_mask(HEIGHT, WIDTH, state.paddle_x - half, state.paddle_y,
                    state.paddle_x + half, state.paddle_y + PADDLE_HEIGHT)
-    img = paint_packed(img, pm, config.paddle_color)
+    img = jnp.where(pm, config.paddle_color, img)
 
-    # balls (square sprites, radius r)
+    # balls (square sprites, radius r; MAX_BALLS=4 static unroll)
     r = state.ball_radius
     show = state.ball_alive & ~state.reset
-
-    def ball_body(im, i):
+    for i in range(MAX_BALLS):
         m = ((xs >= state.ball_x[i] - r) & (xs < state.ball_x[i] + r)
              & (ys >= state.ball_y[i] - r) & (ys < state.ball_y[i] + r)
              & show[i])
-        return jnp.where(m, config.ball_color, im), None
-
-    img, _ = jax.lax.scan(ball_body, img, jnp.arange(MAX_BALLS))
+        img = jnp.where(m, config.ball_color, img)
     return unpack_color(img)
 
 

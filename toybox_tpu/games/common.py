@@ -74,3 +74,14 @@ def to_grayscale(rgba_img):
     f = rgba_img[..., :3].astype(F32)
     g = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
     return jnp.clip(g, 0, 255).astype(U8)[..., None]
+
+
+def luma2d(rgba_img):
+    """RGBA uint8 [..., H, W, 4] -> grayscale uint8 [..., H, W].
+
+    Channel-free output: a trailing dim of 1 would sit in the 128-wide
+    lane slot on TPU (see the breakout layout note) — the hot obs path
+    keeps images strictly 2-D per env."""
+    f = rgba_img[..., :3].astype(F32)
+    g = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    return jnp.clip(g, 0, 255).astype(U8)

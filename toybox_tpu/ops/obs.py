@@ -28,6 +28,14 @@ def warp_frame(obs: jnp.ndarray, size: int = OBS_SIZE) -> jnp.ndarray:
     return jnp.clip(jnp.round(resized), 0, 255).astype(jnp.uint8)
 
 
+def warp_frame2d(obs: jnp.ndarray, size: int = OBS_SIZE) -> jnp.ndarray:
+    """Channel-free warp: uint8 [..., H, W] -> [..., size, size]."""
+    *lead, h, w = obs.shape
+    resized = jax.image.resize(obs.astype(jnp.float32),
+                               (*lead, size, size), method="bilinear")
+    return jnp.clip(jnp.round(resized), 0, 255).astype(jnp.uint8)
+
+
 def max_pool_pair(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Max over the last two skipped frames (MaxAndSkipEnv:205-216)."""
     return jnp.maximum(a, b)
