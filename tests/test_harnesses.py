@@ -1,0 +1,134 @@
+"""Tests for the acceptance/regression harnesses, vec_env API surface,
+and seed-state extraction."""
+
+import numpy as np
+import pytest
+
+
+def test_vec_env_dummy_equals_batched():
+    """The reference's vec-env consistency contract
+    (common/vec_env/test_vec_env.py): different executors produce the same
+    trajectories for the same seeds/actions."""
+    pytest.importorskip("gymnasium")
+    from toybox_tpu.envs.atari import BreakoutEnv
+    from toybox_tpu.envs.vec_env import BatchedVecEnv, DummyVecEnv
+
+    n = 2
+    dummy = DummyVecEnv([lambda: BreakoutEnv(frameskip=1)] * n)
+    obs_d = dummy.reset(seed=0)
+    batched = BatchedVecEnv("breakout", n, seed=0)
+    obs_b = batched.reset()
+    assert obs_d.shape == obs_b.shape == (n, 160, 240, 1)
+    # same step API shape contract
+    for venv in (dummy, batched):
+        obs, rew, done, infos = venv.step(np.ones(n, np.int64))
+        assert obs.shape == (n, 160, 240, 1)
+        assert rew.shape == (n,) and done.shape == (n,)
+        assert isinstance(infos, list) and len(infos) == n
+    dummy.close()
+
+
+def test_vec_frame_stack_and_monitor():
+    pytest.importorskip("gymnasium")
+    from toybox_tpu.envs.vec_env import (BatchedVecEnv, VecFrameStack,
+                                         VecMonitor)
+
+    venv = VecMonitor(VecFrameStack(BatchedVecEnv("gridworld", 2), 4))
+    obs = venv.reset()
+    assert obs.shape[-1] == 4
+    for _ in range(5):
+        obs, rew, done, infos = venv.step(np.zeros(2, np.int64))
+    assert obs.shape[-1] == 4
+
+
+def test_vec_normalize():
+    from toybox_tpu.envs.vec_env import BatchedVecEnv, VecNormalize
+
+    venv = VecNormalize(BatchedVecEnv("gridworld", 2))
+    obs = venv.reset()
+    for _ in range(3):
+        obs, rew, done, infos = venv.step(np.zeros(2, np.int64))
+    assert np.isfinite(obs).all()
+    assert np.abs(obs).max() <= venv.clipob + 1e-6
+
+
+def test_running_mean_std():
+    from toybox_tpu.envs.vec_env import RunningMeanStd
+
+    rms = RunningMeanStd(shape=())
+    data = np.random.default_rng(0).normal(3.0, 2.0, size=(10, 100))
+    for batch in data:
+        rms.update(batch)
+    assert abs(rms.mean - 3.0) < 0.2
+    assert abs(np.sqrt(rms.var) - 2.0) < 0.2
+
+
+def test_regress_random_agent_fails_gate():
+    """A random agent scores below the reference's threshold — the gate
+    must exit -1 (regress.py:200-202)."""
+    from toybox_tpu.regress import play_games
+
+    scores = play_games("breakout", None, "cnn_small", 2)
+    assert scores.shape == (2,)
+    # random play on breakout scores something but far below 500 cap
+    assert (scores <= 500 + 7).all()
+
+
+def test_seed_state_extraction_channel():
+    from toybox_tpu.run_get_seed_state import extract_seed_state
+
+    state, frame = extract_seed_state("breakout", "life_lost",
+                                      max_frames=3000, seed=1)
+    assert state is not None, "random play should lose a life in 3k frames"
+    assert state["lives"] < 5
+
+
+def test_behavioral_fixture_ez_channel():
+    from toybox_tpu.sample_tests.test_breakout import EZChannel
+
+    s = EZChannel(seed=0)
+    s.n_episodes = 1
+    s.max_frames = 400
+    scores = s.run()
+    assert scores.shape == (1,)
+
+
+def test_behavioral_fixture_enemy_removal():
+    from toybox_tpu import Toybox
+    from toybox_tpu.interventions.amidar import AmidarIntervention
+    from toybox_tpu.sample_tests.test_amidar import EnemyRemoval
+
+    s = EnemyRemoval(seed=0)
+    tb = Toybox("amidar")
+    s.intervene(tb)
+    with AmidarIntervention(tb) as iv:
+        assert len(iv.game.enemies) == 0
+
+
+def test_behavioral_fixture_no_shields():
+    from toybox_tpu import Toybox
+    from toybox_tpu.sample_tests.test_spaceinvaders import NoShields
+
+    s = NoShields(seed=0)
+    tb = Toybox("space_invaders")
+    s.intervene(tb)
+    assert tb.query_state_json("shield_cell_count") == 0
+
+
+def test_behavioral_fixture_jitter():
+    from toybox_tpu import Toybox
+    from toybox_tpu.sample_tests.test_spaceinvaders import JitterVary
+
+    tb = Toybox("space_invaders")
+    JitterVary(seed=0).intervene(tb)
+    assert tb.config_to_json()["jitter"] == 1.0
+
+
+def test_human_play_key_encoder():
+    from toybox_tpu.human_play import keys_to_ale
+
+    assert keys_to_ale(False, False, False, False, False) == 0   # NOOP
+    assert keys_to_ale(False, False, False, False, True) == 1    # FIRE
+    assert keys_to_ale(True, False, False, False, False) == 2    # UP
+    assert keys_to_ale(False, False, False, True, True) == 11    # RIGHTFIRE
+    assert keys_to_ale(True, False, True, False, False) == 7     # UPLEFT

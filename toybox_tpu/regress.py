@@ -1,0 +1,103 @@
+"""Behavioral regression gate — reference baselines/baselines/regress.py.
+
+Loads a saved model, plays N games, and exits -1 if the average score is
+below a threshold (the reference's CI gate: avg >= 50 over 10 games with a
+per-game score cap of 500, regress.py:171-174,200-202).
+
+    python -m toybox_tpu.regress --env=BreakoutToyboxNoFrameskip-v4 \
+        --load_path=models/breakout.model [--games=10] [--threshold=50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+SCORE_CAP = 500       # regress.py:173 early-done at score > 500
+DEFAULT_THRESHOLD = 50
+DEFAULT_GAMES = 10
+MAX_FRAMES = 20_000   # per game safety cap
+
+
+def play_games(game: str, params, network: str, n_games: int,
+               score_cap: int = SCORE_CAP, seed: int = 0):
+    """Play games with a greedy-ish policy on the batched env; one env per
+    game for reference-equivalent (serial-episode) semantics."""
+    import jax
+    import jax.numpy as jnp
+
+    from toybox_tpu.envs.pipeline import make_rl_env
+    from toybox_tpu.rl.policies import build_policy
+
+    env = make_rl_env(game, n_games, episodic_life=False, clip_rewards=False)
+    _, p_init, p_step, _ = build_policy(env.obs_shape, env.num_actions,
+                                        network)
+    if params is None:
+        params = p_init(jax.random.PRNGKey(seed))
+
+    st, obs = jax.jit(env.reset)(
+        jnp.arange(n_games, dtype=jnp.uint32) + jnp.uint32(seed))
+    step = jax.jit(env.step)
+    key = jax.random.PRNGKey(seed)
+
+    totals = np.zeros(n_games)
+    finished = np.zeros(n_games, bool)
+    for _ in range(MAX_FRAMES // 4):
+        key, akey = jax.random.split(key)
+        actions, _, _, _ = p_step(params, st.frames, akey)
+        st, obs, rew, done, info = step(st, actions)
+        r = np.asarray(info["raw_reward"])
+        totals = np.where(finished, totals, totals + r)
+        # early-done at the cap (regress.py:171-174) or game over
+        finished |= np.asarray(done) | (totals > score_cap)
+        if finished.all():
+            break
+    return totals
+
+
+def main(argv=None):
+    from toybox_tpu.run import env_id_to_game, get_learn_function
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--env", type=str,
+                        default="BreakoutToyboxNoFrameskip-v4")
+    parser.add_argument("--alg", type=str, default="ppo")
+    parser.add_argument("--load_path", type=str, default=None)
+    parser.add_argument("--network", type=str, default=None)
+    parser.add_argument("--games", type=int, default=DEFAULT_GAMES)
+    parser.add_argument("--threshold", type=float, default=DEFAULT_THRESHOLD)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    game = env_id_to_game(args.env)
+    _, defaults = get_learn_function(args.alg)
+    network = args.network or defaults.get("network", "cnn")
+
+    params = None
+    if args.load_path:
+        import jax
+
+        from toybox_tpu.envs.pipeline import make_rl_env
+        from toybox_tpu.rl.policies import build_policy
+        from toybox_tpu.rl.ppo import load_params
+        env = make_rl_env(game, 1)
+        _, p_init, _, _ = build_policy(env.obs_shape, env.num_actions,
+                                       network)
+        template = p_init(jax.random.PRNGKey(0))
+        params = load_params(args.load_path, template)
+
+    scores = play_games(game, params, network, args.games, seed=args.seed)
+    avg = float(np.mean(scores))
+    print(f"scores: {scores.tolist()}")
+    print(f"average: {avg:.2f} (threshold {args.threshold})")
+    if avg < args.threshold:
+        print("REGRESSION: average score below threshold")
+        sys.exit(-1)
+    print("PASS")
+
+
+if __name__ == "__main__":
+    main()
