@@ -1,0 +1,115 @@
+"""Learning-capability tests on the fake-env fixtures — the reference's
+test_identity.py / test_fixed_sequence.py pattern: each algorithm must
+beat random on a tiny seeded task within a small budget."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from toybox_tpu.rl.test_envs import (make_box_identity_env,
+                                     make_discrete_identity_env,
+                                     make_fixed_sequence_env)
+
+DIM = 4  # random baseline reward = 1/4
+
+
+def mean_reward_after(train, n_updates, env, metric="mean_reward"):
+    init_fn, step = train
+    state = init_fn(0)
+    step_jit = jax.jit(step, donate_argnums=(0,))
+    last = None
+    for _ in range(n_updates):
+        state, metrics = step_jit(state)
+        last = metrics
+    return float(last[metric])
+
+
+def test_ppo_learns_identity():
+    from toybox_tpu.rl.ppo import make_ppo
+    env = make_discrete_identity_env(16, dim=DIM)
+    init_fn, step, _ = make_ppo(env, network="mlp", nsteps=16,
+                                nminibatches=2, noptepochs=2, lr=1e-2,
+                                cliprange=0.2, total_updates=60,
+                                network_kwargs=dict(num_hidden=32))
+    r = mean_reward_after((init_fn, step), 60, env)
+    assert r > 0.8, f"ppo failed to learn identity: {r}"
+
+
+def test_a2c_learns_identity():
+    from toybox_tpu.rl.a2c import make_a2c
+    env = make_discrete_identity_env(16, dim=DIM)
+    # gamma ~ 0: the identity task is a per-step bandit; n-step returns at
+    # gamma .99 bury the per-action signal in future-reward noise
+    init_fn, step = make_a2c(env, network="mlp", nsteps=8, lr=1e-2,
+                             gamma=0.1, total_updates=5000,
+                             network_kwargs=dict(num_hidden=32))
+    r = mean_reward_after((init_fn, step), 500, env)
+    assert r > 0.8, f"a2c failed to learn identity: {r}"
+
+
+def test_dqn_learns_identity():
+    from toybox_tpu.rl.dqn import make_dqn
+    env = make_discrete_identity_env(8, dim=DIM)
+    init_fn, cycle, qnet = make_dqn(
+        env, network="mlp", lr=5e-3, buffer_size=2048, batch_size=64,
+        train_freq=2, learning_starts=128, target_network_update_freq=100,
+        exploration_fraction=0.3, exploration_final_eps=0.02,
+        total_timesteps=4000, network_kwargs=dict(num_hidden=32))
+    state = init_fn(0)
+    cyc = jax.jit(cycle, donate_argnums=(0,))
+    for _ in range(250):
+        state, metrics = cyc(state)
+    # greedy accuracy on fresh observations
+    obs = jnp.eye(DIM, dtype=jnp.float32)
+    q = qnet.apply(state.params, obs)
+    acc = float(jnp.mean(jnp.argmax(q, -1) == jnp.arange(DIM)))
+    assert acc >= 0.75, f"dqn failed: greedy accuracy {acc}"
+
+
+def test_trpo_learns_identity():
+    from toybox_tpu.rl.trpo import make_trpo
+    env = make_discrete_identity_env(16, dim=DIM)
+    init_fn, step = make_trpo(env, network="mlp", nsteps=32, max_kl=0.01,
+                              vf_stepsize=1e-2, vf_iters=3,
+                              network_kwargs=dict(num_hidden=32))
+    r = mean_reward_after((init_fn, step), 40, env)
+    assert r > 0.6, f"trpo failed to learn identity: {r}"
+
+
+def test_acer_learns_identity():
+    from toybox_tpu.rl.acer import make_acer
+    env = make_discrete_identity_env(16, dim=DIM)
+    init_fn, cycle = make_acer(env, network="mlp", nsteps=8, lr=5e-3,
+                               gamma=0.1, replay_ratio=2, buffer_traj=16,
+                               network_kwargs=dict(num_hidden=32))
+    r = mean_reward_after((init_fn, cycle), 400, env)
+    assert r > 0.7, f"acer failed to learn identity: {r}"
+
+
+def test_ddpg_learns_box_identity():
+    from toybox_tpu.rl.ddpg import make_ddpg
+    env = make_box_identity_env(8, dim=2)
+    init_fn, cycle, actor = make_ddpg(env, action_dim=2, actor_lr=3e-3,
+                                      critic_lr=3e-3, batch_size=128,
+                                      buffer_size=8192, noise_scale=0.2,
+                                      learning_starts=256)
+    state = init_fn(0)
+    cyc = jax.jit(cycle, donate_argnums=(0,))
+    last = None
+    for _ in range(600):
+        state, last = cyc(state)
+    # mean squared error should be far below random (~ -0.9 avg reward)
+    r = float(last["mean_reward"])
+    assert r > -0.35, f"ddpg failed to learn box identity: {r}"
+
+
+def test_fixed_sequence_env_contract():
+    env = make_fixed_sequence_env(4, n_actions=3, episode_len=10)
+    st, obs = env.reset(jnp.arange(4, dtype=jnp.uint32))
+    total = 0.0
+    for _ in range(10):
+        st, obs, rew, done, info = env.step(st, jnp.zeros(4, jnp.int32))
+        total += float(rew.sum())
+    assert bool(done.all())
+    assert 0 <= total <= 40

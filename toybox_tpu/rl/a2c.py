@@ -116,6 +116,7 @@ def make_a2c(env_fns, *, network="cnn", lr=7e-4, nsteps=5, gamma=0.99,
             n_eps > 0, jnp.nansum(jnp.where(done_eps, ep_ret, 0.0)) / n_eps,
             jnp.nan)
         metrics["episodes"] = n_eps
+        metrics["mean_reward"] = jnp.mean(rewards)
         return A2CState(params=params, opt_state=opt_state,
                         env_state=env_state, key=key,
                         update=state.update + 1), metrics

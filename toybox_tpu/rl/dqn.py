@@ -64,10 +64,10 @@ class Replay:
     size: jnp.ndarray       # i32
 
 
-def make_replay(capacity, obs_shape):
+def make_replay(capacity, obs_shape, obs_dtype=jnp.uint8):
     return Replay(
-        obs=jnp.zeros((capacity,) + obs_shape, jnp.uint8),
-        next_obs=jnp.zeros((capacity,) + obs_shape, jnp.uint8),
+        obs=jnp.zeros((capacity,) + obs_shape, obs_dtype),
+        next_obs=jnp.zeros((capacity,) + obs_shape, obs_dtype),
         actions=jnp.zeros(capacity, I32),
         rewards=jnp.zeros(capacity, F32),
         dones=jnp.zeros(capacity, jnp.bool_),
@@ -84,8 +84,8 @@ def replay_add(rb: Replay, obs, next_obs, actions, rewards, dones):
     idx = (rb.cursor + jnp.arange(n)) % cap
     max_p = jnp.maximum(jnp.max(rb.priorities), 1.0)
     return rb.replace(
-        obs=rb.obs.at[idx].set(obs),
-        next_obs=rb.next_obs.at[idx].set(next_obs),
+        obs=rb.obs.at[idx].set(obs.astype(rb.obs.dtype)),
+        next_obs=rb.next_obs.at[idx].set(next_obs.astype(rb.obs.dtype)),
         actions=rb.actions.at[idx].set(actions.astype(I32)),
         rewards=rb.rewards.at[idx].set(rewards.astype(F32)),
         dones=rb.dones.at[idx].set(dones),
@@ -155,11 +155,12 @@ def make_dqn(env_fns, *, network="conv_only", lr=1e-4, gamma=0.99,
         seeds = (jax.random.randint(ekey, (num_envs,), 0, 2**31 - 1)
                  .astype(jnp.uint32))
         env_state, _ = env_fns.reset(seeds)
+        obs_dtype = env_state.frames.dtype
         st = DQNState(params=params,
                       target_params=jax.tree_util.tree_map(jnp.array, params),
                       opt_state=tx.init(params), env_state=env_state,
-                      replay=make_replay(buffer_size, obs_shape), key=key,
-                      t=jnp.asarray(0, I32))
+                      replay=make_replay(buffer_size, obs_shape, obs_dtype),
+                      key=key, t=jnp.asarray(0, I32))
         return jax.tree_util.tree_map(jnp.array, st)
 
     def _epsilon(t):

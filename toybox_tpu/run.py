@@ -40,6 +40,13 @@ ALG_DEFAULTS = {
                   train_freq=4, learning_starts=10000, target_network_update_freq=1000,
                   gamma=0.99, prioritized_replay=True, dueling=True),
     "dqn": "deepq",
+    # reference trpo_mpi atari defaults use cnn_small
+    "trpo": dict(network="cnn_small", nsteps=512, max_kl=0.001,
+                 cg_iters=10, cg_damping=0.1, vf_stepsize=3e-4, vf_iters=3),
+    "trpo_mpi": "trpo",
+    # reference acer defaults (acer/acer.py learn signature)
+    "acer": dict(network="cnn_small", nsteps=20, lr=7e-4, q_coef=0.5,
+                 ent_coef=0.01, replay_ratio=4, c=10.0, delta=1.0),
 }
 
 
@@ -98,6 +105,12 @@ def get_learn_function(alg):
     if alg in ("deepq", "dqn"):
         from toybox_tpu.rl.dqn import learn
         return learn, dict(ALG_DEFAULTS["deepq"])
+    if alg in ("trpo", "trpo_mpi"):
+        from toybox_tpu.rl.trpo import learn
+        return learn, dict(ALG_DEFAULTS["trpo"])
+    if alg == "acer":
+        from toybox_tpu.rl.acer import learn
+        return learn, dict(ALG_DEFAULTS["acer"])
     raise ValueError(f"unknown alg {alg!r}")
 
 
