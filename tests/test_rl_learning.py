@@ -113,3 +113,75 @@ def test_fixed_sequence_env_contract():
         total += float(rew.sum())
     assert bool(done.all())
     assert 0 <= total <= 40
+
+
+def test_her_learns_bitflip():
+    from toybox_tpu.rl.her import make_her
+    init_fn, cycle, _ = make_her(num_envs=16, n_bits=6, lr=1e-3)
+    state = init_fn(0)
+    cyc = jax.jit(cycle, donate_argnums=(0,))
+    last = None
+    for _ in range(400):
+        state, last = cyc(state)
+    sr = float(last["success_rate"])
+    assert sr > 0.5, f"HER failed to learn bit-flipping: success {sr}"
+
+
+def test_gail_imitates_identity_expert():
+    from toybox_tpu.rl.gail import make_gail
+    # expert demonstrations for the identity task: action == argmax(obs)
+    dim = DIM
+    key = jax.random.PRNGKey(0)
+    targets = jax.random.randint(key, (2048,), 0, dim)
+    expert_obs = jax.nn.one_hot(targets, dim, dtype=jnp.float32)
+    expert_actions = targets
+
+    env = make_discrete_identity_env(16, dim=dim)
+    # low gamma: per-step imitation signal (see the a2c test note)
+    init_fn, step = make_gail(env, expert_obs, expert_actions,
+                              network="mlp", nsteps=16, gamma=0.1,
+                              lam=0.5, pi_lr=5e-3,
+                              network_kwargs=dict(num_hidden=32))
+    state = init_fn(0)
+    sj = jax.jit(step, donate_argnums=(0,))
+    for _ in range(300):
+        state, metrics = sj(state)
+    # the imitator should now act like the expert: evaluate true reward
+    from toybox_tpu.rl.policies import build_policy
+    _, _, p_step, _ = build_policy(env.obs_shape, env.num_actions, "mlp",
+                                   num_hidden=32)
+    st, obs = env.reset(jnp.arange(16, dtype=jnp.uint32))
+    correct = 0
+    total = 0
+    k = jax.random.PRNGKey(1)
+    for _ in range(20):
+        k, ak = jax.random.split(k)
+        acts, _, _, _ = p_step(state.pi_params, st.frames, ak)
+        st, obs, rew, done, info = env.step(st, acts)
+        correct += float(rew.sum())
+        total += 16
+    acc = correct / total
+    assert acc > 0.7, f"GAIL imitation accuracy {acc}"
+
+
+def test_acktr_learns_identity():
+    from toybox_tpu.rl.acktr import make_acktr
+    env = make_discrete_identity_env(16, dim=DIM)
+    init_fn, step, _ = make_acktr(env, nsteps=8, lr=0.2, gamma=0.1,
+                                  hidden=32, kfac_clip=0.01,
+                                  total_updates=3000)
+    r = mean_reward_after((init_fn, step), 200, env)
+    assert r > 0.7, f"acktr failed to learn identity: {r}"
+
+
+def test_acktr_conv_step_runs():
+    """Conv K-FAC path compiles and produces finite metrics on images."""
+    from toybox_tpu.envs.pipeline import make_rl_env
+    from toybox_tpu.rl.acktr import make_acktr
+    env = make_rl_env("gridworld", 2)
+    init_fn, step, _ = make_acktr(env, nsteps=2, hidden=64,
+                                  total_updates=4)
+    state = init_fn(0)
+    state, metrics = jax.jit(step, donate_argnums=(0,))(state)
+    assert np.isfinite(float(metrics["policy_loss"]))
+    assert np.isfinite(float(metrics["step_coeff"]))

@@ -1,0 +1,226 @@
+"""ACKTR — actor-critic with Kronecker-factored trust region.
+
+Semantics from the reference's acktr (baselines/acktr/acktr_disc.py +
+kfac.py): A2C-style n-step advantage updates whose gradients are
+preconditioned by K-FAC (layer-wise Kronecker-factored natural gradient)
+with a KL-based effective-step clip (trust region). Defaults: lr 0.25,
+nsteps 20, max KL (kfac_clip) 0.001, damping 0.01, vf in the same loss
+(vf_coef 0.5, fisher from the joint objective).
+
+The jax implementation taps layer inputs with ``sow`` and pre-activation
+gradients with ``perturb`` (see toybox_tpu.rl.kfac), so one backward pass
+yields both the gradient and the Kronecker statistics.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from toybox_tpu.envs.pipeline import make_rl_env
+from toybox_tpu.rl.distributions import CategoricalPd
+from toybox_tpu.rl.kfac import (KfacConv, KfacDense, kfac_precondition)
+from toybox_tpu.rl.ppo import load_params, save_params
+
+F32 = jnp.float32
+
+
+class KfacCNNPolicy(nn.Module):
+    """acktr's policy net built from KFAC-instrumented layers."""
+    n_actions: int
+    convs: Sequence = ((32, 8, 4), (64, 4, 2), (64, 3, 1))
+    hidden: int = 512
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.asarray(x)
+        if x.dtype == jnp.uint8:
+            x = x.astype(F32) / 255.0
+        else:
+            x = x.astype(F32)
+        if x.ndim == 2:   # vector obs -> dense trunk
+            x = nn.relu(KfacDense(self.hidden, name="fc0")(x))
+        else:
+            for i, (ch, k, s) in enumerate(self.convs):
+                x = nn.relu(KfacConv(ch, k, s, name=f"conv{i}")(x))
+            x = x.reshape((x.shape[0], -1))
+            x = nn.relu(KfacDense(self.hidden, name="fc0")(x))
+        logits = KfacDense(self.n_actions, name="pi")(x)
+        value = KfacDense(1, name="vf")(x)[..., 0]
+        return logits, value
+
+    def layer_meta(self, image_obs: bool):
+        meta = {}
+        if image_obs:
+            for i, (ch, k, s) in enumerate(self.convs):
+                meta[f"conv{i}"] = ("conv", k, s)
+        meta["fc0"] = ("dense",)
+        meta["pi"] = ("dense",)
+        meta["vf"] = ("dense",)
+        return meta
+
+
+@struct.dataclass
+class ACKTRState:
+    params: Any          # includes 'params' and 'perturbations' collections
+    opt_state: Any
+    env_state: Any
+    key: jnp.ndarray
+    update: jnp.ndarray
+
+
+def make_acktr(env_fns, *, nsteps=20, lr=0.25, gamma=0.99, ent_coef=0.01,
+               vf_coef=0.5, kfac_clip=0.001, damping=0.01,
+               max_grad_norm=0.5, hidden=512, total_updates=1):
+    num_envs = env_fns.num_envs
+    nact = env_fns.num_actions
+    obs_shape = tuple(env_fns.obs_shape)
+    image_obs = len(obs_shape) == 3
+    net = KfacCNNPolicy(n_actions=nact, hidden=hidden)
+    meta = net.layer_meta(image_obs)
+
+    tx = optax.chain(optax.clip_by_global_norm(max_grad_norm),
+                     optax.sgd(1.0, momentum=0.9))
+
+    def init_fn(seed=0):
+        key = jax.random.PRNGKey(seed)
+        key, pkey, ekey = jax.random.split(key, 3)
+        obs_dtype = jnp.uint8 if image_obs else F32
+        variables = net.init(pkey, jnp.zeros((1,) + obs_shape, obs_dtype))
+        seeds = (jax.random.randint(ekey, (num_envs,), 0, 2**31 - 1)
+                 .astype(jnp.uint32))
+        env_state, _ = env_fns.reset(seeds)
+        st = ACKTRState(params=variables, opt_state=tx.init(variables),
+                        env_state=env_state, key=key,
+                        update=jnp.asarray(0, jnp.int32))
+        return jax.tree_util.tree_map(jnp.array, st)
+
+    def _apply(variables, obs):
+        logits, value = net.apply(variables, obs)
+        return logits, value
+
+    def train_step(state: ACKTRState):
+        frac = jnp.maximum(
+            1.0 - state.update.astype(F32) / max(total_updates, 1), 0.05)
+        lrnow = lr * frac
+
+        def body(carry, _):
+            env_state, key = carry
+            obs = env_state.frames
+            key, akey = jax.random.split(key)
+            logits, values = _apply(state.params, obs)
+            actions = CategoricalPd(logits).sample(akey)
+            env_state, _, rewards, dones, info = env_fns.step(
+                env_state, actions.astype(jnp.int32))
+            return (env_state, key), (obs, actions, values, rewards, dones,
+                                      info["episode_return"])
+
+        (env_state, key), (obs, actions, values, rewards, dones, ep_ret) = \
+            jax.lax.scan(body, (state.env_state, state.key), None,
+                         length=nsteps)
+        _, last_value = _apply(state.params, env_state.frames)
+
+        def disc(next_ret, t):
+            r, d = t
+            ret = r + gamma * next_ret * (1.0 - d.astype(F32))
+            return ret, ret
+
+        _, returns = jax.lax.scan(disc, last_value, (rewards, dones),
+                                  reverse=True)
+
+        def fl(x):
+            return x.reshape((nsteps * num_envs,) + x.shape[2:])
+
+        fobs, facts, fret = fl(obs), fl(actions), fl(returns)
+
+        def loss_and_inter(variables):
+            (logits, vpred), inter = net.apply(variables, fobs,
+                                               mutable=["kfac"])
+            pd = CategoricalPd(logits)
+            neglogp = pd.neglogp(facts)
+            adv = fret - vpred
+            pg_loss = jnp.mean(jax.lax.stop_gradient(adv) * neglogp)
+            vf_loss = 0.5 * jnp.mean(jnp.square(vpred - fret))
+            entropy = jnp.mean(pd.entropy())
+            loss = pg_loss - ent_coef * entropy + vf_coef * vf_loss
+            return loss, (inter, pg_loss, vf_loss, entropy)
+
+        (loss, (inter, pg_loss, vf_loss, entropy)), raw_grads = \
+            jax.value_and_grad(loss_and_inter, has_aux=True)(state.params)
+
+        # K-FAC preconditioning of the layer gradients
+        grads = kfac_precondition(raw_grads, inter,
+                                  raw_grads["perturbations"], meta,
+                                  damping=damping)
+        # zero the perturbation "grads" (they are taps, not parameters)
+        grads = {**grads, "perturbations": jax.tree_util.tree_map(
+            jnp.zeros_like, grads["perturbations"])}
+
+        # trust region: for a natural-gradient step v = F^-1 g the Fisher
+        # norm is v^T F v = v . g — clip the lr so lr^2 vFv <= kfac_clip
+        # (the reference kfac.py's clipkl mechanism)
+        vfv = sum(jnp.sum(p * r) for p, r in zip(
+            jax.tree_util.tree_leaves(grads["params"]),
+            jax.tree_util.tree_leaves(raw_grads["params"])))
+        vfv = jnp.maximum(vfv, 1e-12)
+        coeff = jnp.minimum(lrnow,
+                            jnp.sqrt(kfac_clip / (lrnow * vfv)))
+
+        # optax.sgd(1.0) emits ready-to-apply (negated) momentum updates;
+        # scale them by the trust-region-clipped step size
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(lambda u: coeff * u, updates)
+        params = optax.apply_updates(state.params, updates)
+
+        done_eps = ~jnp.isnan(ep_ret)
+        n_eps = jnp.sum(done_eps.astype(F32))
+        metrics = dict(policy_loss=pg_loss, value_loss=vf_loss,
+                       policy_entropy=entropy,
+                       step_coeff=coeff,
+                       mean_reward=jnp.mean(rewards),
+                       eprewmean=jnp.where(
+                           n_eps > 0,
+                           jnp.nansum(jnp.where(done_eps, ep_ret, 0.0))
+                           / n_eps, jnp.nan))
+        return ACKTRState(params=params, opt_state=opt_state,
+                          env_state=env_state, key=key,
+                          update=state.update + 1), metrics
+
+    return init_fn, train_step, net
+
+
+def learn(*, env=None, game="breakout", num_envs=16, total_timesteps=100_000,
+          seed=0, nsteps=20, lr=0.25, gamma=0.99, ent_coef=0.01,
+          vf_coef=0.5, kfac_clip=0.001, log_interval=20, save_path=None,
+          load_path=None, logger=None, **_ignored):
+    env_fns = env if env is not None else make_rl_env(game, num_envs)
+    nbatch = env_fns.num_envs * nsteps
+    total_updates = max(int(total_timesteps) // (nbatch * 4), 1)
+    init_fn, train_step, _ = make_acktr(
+        env_fns, nsteps=nsteps, lr=lr, gamma=gamma, ent_coef=ent_coef,
+        vf_coef=vf_coef, kfac_clip=kfac_clip, total_updates=total_updates)
+    state = init_fn(seed)
+    if load_path is not None:
+        state = state.replace(params=load_params(load_path, state.params))
+    step_jit = jax.jit(train_step, donate_argnums=(0,))
+    t0 = time.perf_counter()
+    for update in range(1, total_updates + 1):
+        state, metrics = step_jit(state)
+        if logger is not None and update % log_interval == 0:
+            m = jax.device_get(metrics)
+            logger.logkv("nupdates", update)
+            logger.logkv("fps", int(update * nbatch * 4 /
+                                    (time.perf_counter() - t0)))
+            for k, v in m.items():
+                logger.logkv(k, float(v))
+            logger.dumpkvs()
+    jax.block_until_ready(state.params)
+    if save_path is not None:
+        save_params(save_path, state.params)
+    return state

@@ -47,6 +47,13 @@ ALG_DEFAULTS = {
     # reference acer defaults (acer/acer.py learn signature)
     "acer": dict(network="cnn_small", nsteps=20, lr=7e-4, q_coef=0.5,
                  ent_coef=0.01, replay_ratio=4, c=10.0, delta=1.0),
+    # reference acktr defaults (acktr/acktr_disc.py)
+    "acktr": dict(nsteps=20, lr=0.25, ent_coef=0.01, vf_coef=0.5,
+                  kfac_clip=0.001),
+    # ppo1 = the original PPO recipe (larger horizon, adam epochs)
+    "ppo1": dict(nsteps=256, nminibatches=4, lam=0.95, gamma=0.99,
+                 noptepochs=4, ent_coef=0.0, lr=3e-4, cliprange=0.2,
+                 network="cnn"),
 }
 
 
@@ -111,6 +118,12 @@ def get_learn_function(alg):
     if alg == "acer":
         from toybox_tpu.rl.acer import learn
         return learn, dict(ALG_DEFAULTS["acer"])
+    if alg == "acktr":
+        from toybox_tpu.rl.acktr import learn
+        return learn, dict(ALG_DEFAULTS["acktr"])
+    if alg == "ppo1":
+        from toybox_tpu.rl.ppo import learn
+        return learn, dict(ALG_DEFAULTS["ppo1"])
     raise ValueError(f"unknown alg {alg!r}")
 
 
