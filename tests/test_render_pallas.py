@@ -1,0 +1,57 @@
+"""Pallas renderer + matmul warp parity vs the XLA path (interpret mode
+on the CPU backend)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import toybox_tpu.games.breakout as bk
+from toybox_tpu.games.common import luma2d
+from toybox_tpu.ops.obs import warp_frame2d
+from toybox_tpu.ops.render_pallas import (make_breakout_gray_renderer,
+                                          warp_matmul)
+
+
+def test_pallas_render_matches_xla():
+    n = 4
+    cfg = bk.default_config()
+    states = jax.vmap(lambda s: bk.new_game(cfg, seed=s))(
+        jnp.arange(n, dtype=jnp.uint32))
+    states = states.replace(reset=jnp.zeros(n, bool))
+    # knock out some bricks so the grid path is exercised
+    alive = np.asarray(states.brick_alive).copy()
+    alive[:, 10:30] = False
+    states = states.replace(brick_alive=jnp.asarray(alive))
+
+    f_pl = np.asarray(make_breakout_gray_renderer(cfg, interpret=True)(states))
+    f_xla = np.asarray(jax.vmap(lambda s: luma2d(bk.render(cfg, s)))(states))
+    diff = np.abs(f_pl.astype(int) - f_xla.astype(int))
+    assert diff.max() <= 1, f"pallas render mismatch: max {diff.max()}"
+
+
+def test_warp_matmul_matches_resize():
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 255, (3, 160, 240), np.uint8))
+    a = np.asarray(warp_frame2d(frames, 84)).astype(int)
+    b = np.asarray(warp_matmul(frames, 84)).astype(int)
+    assert np.abs(a - b).max() <= 1
+
+
+def test_pipeline_pallas_interpret_matches_xla():
+    from toybox_tpu.envs.pipeline import make_rl_env
+
+    n = 2
+    seeds = jnp.arange(n, dtype=jnp.uint32)
+    acts = jnp.ones(n, jnp.int32)
+    env_x = make_rl_env("breakout", n, use_pallas=False)
+    env_p = make_rl_env("breakout", n, use_pallas=True)
+    sx, ox = env_x.reset(seeds)
+    sp, op = env_p.reset(seeds)
+    np.testing.assert_allclose(np.asarray(ox).astype(int),
+                               np.asarray(op).astype(int), atol=1)
+    for _ in range(3):
+        sx, ox, rx, dx, _ = env_x.step(sx, acts)
+        sp, op, rp, dp, _ = env_p.step(sp, acts)
+    np.testing.assert_array_equal(np.asarray(rx), np.asarray(rp))
+    np.testing.assert_allclose(np.asarray(ox).astype(int),
+                               np.asarray(op).astype(int), atol=1)

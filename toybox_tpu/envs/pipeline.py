@@ -46,23 +46,40 @@ class PipelineState:
 
 def make_rl_env(game_name: str, num_envs: int, config=None, skip: int = 4,
                 frame_size: int = 84, frame_stack: int = 4,
-                episodic_life: bool = True, clip_rewards: bool = True):
+                episodic_life: bool = True, clip_rewards: bool = True,
+                use_pallas: str | bool = "auto"):
     """Returns BatchedEnvFns-like (reset, step) with DeepMind preprocessing.
 
     step(state, actions) -> (state, obs[N,84,84,k], reward, done, info)
     where done marks life loss under episodic_life (the env auto-resets
     itself on true game over).
+
+    use_pallas: "auto" picks the single-pass Pallas frame kernel + MXU
+    matmul warp on TPU backends (where available for the game) and the
+    fused-XLA path elsewhere.
     """
     module = get_game(game_name)
     inner = make_batched_env(game_name, num_envs, config=config,
                              obs_mode="none", auto_reset=True)
     cfg = config if config is not None else module.default_config()
 
-    def render_gray(game):
-        return jax.vmap(lambda s: luma2d(module.render(cfg, s)))(game)
+    on_tpu = jax.default_backend() == "tpu"
+    if use_pallas == "auto":
+        use_pallas = on_tpu and game_name == "breakout"
+    if use_pallas:
+        from toybox_tpu.ops.render_pallas import (
+            make_breakout_gray_renderer, warp_matmul)
+        assert game_name == "breakout", "pallas renderer: breakout only"
+        render_gray = make_breakout_gray_renderer(cfg, interpret=not on_tpu)
 
-    def warp(frames):
-        return obs_ops.warp_frame2d(frames, frame_size)
+        def warp(frames):
+            return warp_matmul(frames, frame_size)
+    else:
+        def render_gray(game):
+            return jax.vmap(lambda s: luma2d(module.render(cfg, s)))(game)
+
+        def warp(frames):
+            return obs_ops.warp_frame2d(frames, frame_size)
 
     def reset(seeds):
         env_state, _ = inner.reset(seeds)

@@ -491,10 +491,14 @@ def _brick_grid(state: State) -> jnp.ndarray:
     col1h = (cols[:, None] == jnp.arange(N_COLS)[None, :])
     # color as float exactly represents u24 rgb; alpha folded back after
     rgb = (state.brick_color & jnp.uint32(0xFFFFFF)).astype(F32) * show
+    # precision=HIGHEST: the default TPU f32 matmul runs in bf16, which
+    # quantizes the packed u24 color values
     grid = jnp.einsum("br,b,bc->rc", row1h.astype(F32), rgb,
-                      col1h.astype(F32), preferred_element_type=F32)
+                      col1h.astype(F32), preferred_element_type=F32,
+                      precision=jax.lax.Precision.HIGHEST)
     occ = jnp.einsum("br,b,bc->rc", row1h.astype(F32), show,
-                     col1h.astype(F32), preferred_element_type=F32)
+                     col1h.astype(F32), preferred_element_type=F32,
+                     precision=jax.lax.Precision.HIGHEST)
     packed = grid.astype(jnp.uint32) | jnp.uint32(0xFF000000)
     return packed, occ > 0
 
