@@ -209,6 +209,36 @@ class BatchedVecEnv(VecEnv):
         return (np.asarray(obs), np.asarray(rew), np.asarray(done), infos)
 
 
+def make_vec_env(env_id, num_env=1, seed=None, sample_weights=None,
+                 monitor_path=None, use_batched=True, start_index=0):
+    """Env factory (reference common/cmd_util.py:22-42 make_vec_env):
+    builds a monitored vectorized env. On TPU the default executor is the
+    device-resident BatchedVecEnv (the SubprocVecEnv replacement);
+    use_batched=False builds DummyVecEnv over gymnasium envs (required
+    for SampleEnvs Toybox/ALE mixing, which is inherently per-process)."""
+    from toybox_tpu.run import env_id_to_game
+
+    if use_batched and not sample_weights:
+        venv = BatchedVecEnv(env_id_to_game(env_id), num_env,
+                             seed=seed or 0)
+    else:
+        import toybox_tpu.envs  # noqa: F401 (register ids)
+        from toybox_tpu.envs.wrappers import make_atari
+
+        def thunk(rank):
+            def _make():
+                env = make_atari(env_id, sample_weights=sample_weights)
+                if seed is not None:
+                    env.reset(seed=seed + start_index + rank)
+                return env
+            return _make
+
+        venv = DummyVecEnv([thunk(i) for i in range(num_env)])
+    if monitor_path:
+        venv = VecMonitor(venv, filename=monitor_path)
+    return venv
+
+
 class VecFrameStack(VecEnvWrapper):
     """Stack the last k observations along the channel axis
     (reference vec_frame_stack.py)."""

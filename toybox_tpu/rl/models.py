@@ -116,15 +116,19 @@ class CNNLSTMCarry:
 
 
 class LSTMTrunk(nn.Module):
-    """reference models.py lstm / cnn_lstm: trunk + LSTMCell whose carry is
-    threaded by the caller (we keep the recurrent state in the rollout
-    scan carry, not hidden module state)."""
+    """reference models.py lstm / cnn_lstm / cnn_lnlstm: trunk + LSTMCell
+    whose carry is threaded by the caller (we keep the recurrent state in
+    the rollout scan carry, not hidden module state). layer_norm adds the
+    lnlstm variant's normalization on the latent input."""
     base: nn.Module
     nlstm: int = 128
+    layer_norm: bool = False
 
     @nn.compact
     def __call__(self, x, carry, done):
         latent = self.base(x)
+        if self.layer_norm:
+            latent = nn.LayerNorm()(latent)
         cell = nn.OptimizedLSTMCell(self.nlstm)
         # reset carry where episodes ended
         mask = (1.0 - done.astype(jnp.float32))[:, None]
@@ -166,6 +170,11 @@ def mlp(**kwargs):
 @register("cnn_lstm")
 def cnn_lstm(nlstm=128, **kwargs):
     return LSTMTrunk(base=NatureCNN(**kwargs), nlstm=nlstm)
+
+
+@register("cnn_lnlstm")
+def cnn_lnlstm(nlstm=128, **kwargs):
+    return LSTMTrunk(base=NatureCNN(**kwargs), nlstm=nlstm, layer_norm=True)
 
 
 @register("lstm")
