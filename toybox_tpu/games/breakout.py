@@ -113,6 +113,10 @@ class Config:
     ball_start_x: jnp.ndarray              # f32[4]
     ball_start_y: jnp.ndarray              # f32[4]
     ball_start_angle: jnp.ndarray          # f32[4] degrees
+    ball_start_ux: jnp.ndarray             # f32[4] unit serve direction
+    ball_start_uy: jnp.ndarray             # f32[4]
+    seg_cos: jnp.ndarray                   # f32[nseg] paddle reflection
+    seg_sin: jnp.ndarray                   # f32[nseg]
     start_lives: jnp.ndarray               # i32
     row_scores: jnp.ndarray                # i32[N_ROWS]
     row_colors: jnp.ndarray                # u32[N_ROWS] packed
@@ -161,11 +165,27 @@ class State:
 
 def config_from_json(d: dict) -> Config:
     starts = d["ball_start_positions"]
+    # Transcendentals precomputed on the host so trajectories are
+    # bit-identical across backends (device cos/sin rounding differs
+    # between the CPU and TPU compilers; +,*,sqrt are IEEE-exact).
+    angles = np.asarray([s["angle_degrees"] for s in starts], np.float64)
+    rad = angles * (np.pi / 180.0)
+    # serve launches up into the brick rows (screen +y is down)
+    ux = np.cos(rad).astype(np.float32)
+    uy = (-np.sin(rad)).astype(np.float32)
+    nseg = max(int(d["paddle_discrete_segments"]), 1)
+    # leftmost segment bounces up-left at 150deg, rightmost up-right at 30
+    seg_angles = (150.0 - np.arange(nseg) * (120.0 / max(nseg - 1, 1))) \
+        * (np.pi / 180.0)
     return Config(
         paddle_discrete_segments=jnp.asarray(d["paddle_discrete_segments"], I32),
         ball_start_x=jnp.asarray([s["x"] for s in starts], F32),
         ball_start_y=jnp.asarray([s["y"] for s in starts], F32),
-        ball_start_angle=jnp.asarray([s["angle_degrees"] for s in starts], F32),
+        ball_start_angle=jnp.asarray(angles, F32),
+        ball_start_ux=jnp.asarray(ux),
+        ball_start_uy=jnp.asarray(uy),
+        seg_cos=jnp.asarray(np.cos(seg_angles).astype(np.float32)),
+        seg_sin=jnp.asarray(np.sin(seg_angles).astype(np.float32)),
         start_lives=jnp.asarray(d["start_lives"], I32),
         row_scores=jnp.asarray(d["row_scores"], I32),
         row_colors=jnp.asarray(
@@ -218,15 +238,14 @@ def config_to_json(config: Config) -> dict:
 
 
 def _serve_vector(config: Config, idx):
-    """Ball start pos/vel for start-position index idx (traced)."""
+    """Ball start pos/vel for start-position index idx (traced). Serve
+    direction comes from the host-precomputed unit table (backend-exact);
+    angle 30deg from x=24 heads up-right, 150deg from x=216 up-left."""
     px = config.ball_start_x[idx]
     py = config.ball_start_y[idx]
-    a = config.ball_start_angle[idx] * (math.pi / 180.0)
     speed = config.ball_speed_slow
-    # Serve launches up into the brick rows (screen +y is down): angle 30deg
-    # from x=24 heads up-right, 150deg from x=216 up-left — the config pairs
-    # start x with an angle pointing toward the board center.
-    return px, py, speed * jnp.cos(a), -speed * jnp.sin(a)
+    return (px, py, speed * config.ball_start_ux[idx],
+            speed * config.ball_start_uy[idx])
 
 
 def _default_bricks(config: Config):
@@ -301,16 +320,20 @@ def _reflect_paddle(config, state, bx, by, bvx, bvy):
            & (by + r >= py)
            & (by - r <= py + PADDLE_HEIGHT)
            & (jnp.abs(bx - px) <= half + r))
-    nseg = jnp.maximum(config.paddle_discrete_segments, 1).astype(F32)
+    nseg = config.seg_cos.shape[0]
     frac = jnp.clip((bx - (px - half)) / jnp.maximum(state.paddle_width, 1e-6),
                     0.0, 0.999)
-    seg = jnp.floor(frac * nseg)
-    # leftmost segment bounces up-left at 150deg, rightmost up-right at 30deg
-    angle_deg = 150.0 - seg * (120.0 / jnp.maximum(nseg - 1.0, 1.0))
-    a = angle_deg * (math.pi / 180.0)
+    seg = jnp.floor(frac * float(nseg)).astype(I32)
+    # host-precomputed per-segment reflection direction (backend-exact);
+    # table lookup as a static unroll of selects, not a gather
+    cos_a = jnp.zeros_like(bx)
+    sin_a = jnp.zeros_like(bx)
+    for k in range(nseg):
+        cos_a = jnp.where(seg == k, config.seg_cos[k], cos_a)
+        sin_a = jnp.where(seg == k, config.seg_sin[k], sin_a)
     speed = jnp.sqrt(bvx * bvx + bvy * bvy)
-    return (jnp.where(hit, speed * jnp.cos(a), bvx),
-            jnp.where(hit, -speed * jnp.sin(a), bvy), hit)
+    return (jnp.where(hit, speed * cos_a, bvx),
+            jnp.where(hit, -speed * sin_a, bvy), hit)
 
 
 def _ball_substep(config: Config, state: State, bricks_alive,
