@@ -108,9 +108,10 @@ ENEMY_PROTOCOLS = ["TargetPlayer", "Random"]
 
 @struct.dataclass
 class Config:
-    # static: exact JSON round-trip; changing it re-inits (config semantics)
+    # static fields: exact JSON round-trip; changing them re-inits and
+    # recompiles (config semantics — dirty_config forces a new game)
     jitter: float = struct.field(pytree_node=False)
-    shield_pos: jnp.ndarray      # i32[N_SHIELDS, 2]
+    shield_pos_static: tuple = struct.field(pytree_node=False)  # ((x,y),..)
     row_scores: jnp.ndarray      # i32[N_ROWS]
     enemy_protocol: jnp.ndarray  # i32 (0 TargetPlayer, 1 Random)
     start_lives: jnp.ndarray     # i32
@@ -160,13 +161,18 @@ class State:
 def config_from_json(d: dict) -> Config:
     return Config(
         jitter=float(d["jitter"]),
-        shield_pos=jnp.asarray(d["shields"], I32),
+        shield_pos_static=tuple(tuple(int(v) for v in xy)
+                                for xy in d["shields"]),
         row_scores=jnp.asarray(d["row_scores"], I32),
         enemy_protocol=jnp.asarray(
             ENEMY_PROTOCOLS.index(d.get("enemy_protocol", "TargetPlayer")), I32),
         start_lives=jnp.asarray(d["start_lives"], I32),
         rand=jnp.asarray(rng.from_u64_pair(d["rand"]["state"])),
     )
+
+
+def _shield_pos_arr(config: Config):
+    return jnp.asarray(config.shield_pos_static, I32)
 
 
 def default_config() -> Config:
@@ -176,7 +182,7 @@ def default_config() -> Config:
 def config_to_json(config: Config) -> dict:
     return {
         "jitter": float(config.jitter),
-        "shields": np.asarray(config.shield_pos).tolist(),
+        "shields": [list(xy) for xy in config.shield_pos_static],
         "row_scores": np.asarray(config.row_scores).tolist(),
         "enemy_protocol": ENEMY_PROTOCOLS[int(config.enemy_protocol)],
         "start_lives": int(config.start_lives),
@@ -196,7 +202,7 @@ def new_game(config: Config, seed=None) -> State:
         key = config.rand
     else:
         key = rng.seed(jnp.uint32(seed))
-    nshields = config.shield_pos.shape[0]
+    nshields = len(config.shield_pos_static)
     return State(
         score=jnp.asarray(0, I32),
         lives=config.start_lives.astype(I32),
@@ -250,8 +256,9 @@ def _shields_vs_lasers(config: Config, alpha, lx, ly, from_above, active):
     iota-compare masks over the (tiny) shield sprites — a per-laser scan
     with dynamic-index gathers was ~5x the cost of the whole engine step.
     """
-    sx = config.shield_pos[:, 0]                 # [S]
-    sy = config.shield_pos[:, 1]
+    sp = _shield_pos_arr(config)
+    sx = sp[:, 0]                                # [S]
+    sy = sp[:, 1]
     px = lx[:, None] - sx[None, :]               # [L, S]
     py = ly[:, None] - sy[None, :]
     inside = (px >= 0) & (px < SHIELD_W) & (py >= 0) & (py < SHIELD_H)
@@ -517,58 +524,86 @@ LASER_COLOR = np.array([255, 255, 255, 255], np.uint8)
 UFO_COLOR = np.array([151, 25, 122, 255], np.uint8)
 
 
+def _pack_np(c):
+    c = np.asarray(c, np.uint32)
+    return int(c[0] | (c[1] << 8) | (c[2] << 16) | (c[3] << 24))
+
+
+def _unpack_u32(p):
+    p = jnp.asarray(p, jnp.uint32)
+    return jnp.stack([(p >> 0) & 0xFF, (p >> 8) & 0xFF,
+                      (p >> 16) & 0xFF, (p >> 24) & 0xFF],
+                     axis=-1).astype(U8)
+
+
+# enemy formation band geometry: 6x6 cells of (ENEMY_DY, ENEMY_DX) px with
+# the sprite occupying the top-left ENEMY_H x ENEMY_W of each cell
+_BAND_H = N_ROWS * ENEMY_DY
+_BAND_W = N_COLS * ENEMY_DX
+_CELL_SPRITE = np.zeros((ENEMY_DY, ENEMY_DX), bool)
+_CELL_SPRITE[:ENEMY_H, :ENEMY_W] = True
+_BAND_SPRITE = np.tile(_CELL_SPRITE, (N_ROWS, N_COLS))
+_PAD = 224  # canvas padding so the dynamic band paste never clips
+
+
 def render(config: Config, state: State) -> jnp.ndarray:
+    """RGBA frame composed in packed-u32 space with no scans and no
+    per-pixel gathers (the breakout render lesson): the enemy formation is
+    an upsampled 6x6 show-grid pasted with ONE dynamic_update_slice (all
+    enemies share the march offset), shields paste their pixel masks the
+    same way, and the remaining sprites are unrolled iota masks."""
     ys = jax.lax.broadcasted_iota(I32, (HEIGHT, WIDTH), 0)
     xs = jax.lax.broadcasted_iota(I32, (HEIGHT, WIDTH), 1)
-    img = jnp.zeros((HEIGHT, WIDTH, 4), U8).at[..., 3].set(255)
+    img = jnp.full((HEIGHT, WIDTH), _pack_np([0, 0, 0, 255]), jnp.uint32)
 
-    def rect(im, x, y, w, h, color, ok):
+    def rect(im, x, y, w, h, packed, ok):
         m = ((xs >= x) & (xs < x + w) & (ys >= y) & (ys < y + h) & ok)
-        return jnp.where(m[..., None], jnp.asarray(color, U8), im)
+        return jnp.where(m, jnp.uint32(packed), im)
 
-    # shields: scatter the per-shield alpha masks
-    def one_shield(im, args):
-        alpha, pos = args
-        px = xs - pos[0]
-        py = ys - pos[1]
-        inside = (px >= 0) & (px < SHIELD_W) & (py >= 0) & (py < SHIELD_H)
-        solid = alpha[jnp.clip(py, 0, SHIELD_H - 1),
-                      jnp.clip(px, 0, SHIELD_W - 1)]
-        m = inside & solid
-        return jnp.where(m[..., None], jnp.asarray(SHIELD_COLOR, U8), im), None
+    # --- enemy formation: fused cell arithmetic --------------------------
+    # all enemies share the march offset (enemy 0's position anchors the
+    # 6x6 grid); the per-pixel cell lookup unrolls into 36 fused selects —
+    # a vmapped dynamic_update_slice lowered to a scatter and cost ~10ms
+    show = (state.enemy_alive
+            | (state.enemy_death_counter >= 0)).reshape(N_ROWS, N_COLS)
+    rel_x = xs - state.enemy_xy[0, 0]
+    rel_y = ys - state.enemy_xy[0, 1]
+    in_sprite = ((rel_x >= 0) & (rel_y >= 0)
+                 & (rel_x < _BAND_W) & (rel_y < _BAND_H)
+                 & (rel_x % ENEMY_DX < ENEMY_W)
+                 & (rel_y % ENEMY_DY < ENEMY_H))
+    cell_c = rel_x // ENEMY_DX
+    cell_r = rel_y // ENEMY_DY
+    alive_px = jnp.zeros((HEIGHT, WIDTH), bool)
+    for r in range(N_ROWS):
+        row_any = jnp.zeros((HEIGHT, WIDTH), bool)
+        for c in range(N_COLS):
+            row_any |= (cell_c == c) & show[r, c]
+        alive_px |= (cell_r == r) & row_any
+    img = jnp.where(in_sprite & alive_px,
+                    jnp.uint32(_pack_np(ENEMY_COLOR)), img)
 
-    img, _ = jax.lax.scan(one_shield, img,
-                          (state.shield_alpha, config.shield_pos))
+    # --- shields: static-position paste ----------------------------------
+    sc = jnp.uint32(_pack_np(SHIELD_COLOR))
+    canvas = jnp.zeros((HEIGHT, WIDTH), bool)
+    for i, (sx_, sy_) in enumerate(config.shield_pos_static):
+        canvas = canvas.at[sy_:sy_ + SHIELD_H,
+                           sx_:sx_ + SHIELD_W].set(state.shield_alpha[i])
+    img = jnp.where(canvas, sc, img)
 
-    # enemies
-    def one_enemy(im, args):
-        xy, alive, dc = args
-        show = alive | (dc >= 0)
-        return rect(im, xy[0], xy[1], ENEMY_W, ENEMY_H, ENEMY_COLOR, show), None
-
-    img, _ = jax.lax.scan(one_enemy, img,
-                          (state.enemy_xy, state.enemy_alive,
-                           state.enemy_death_counter))
-
-    # ufo
-    img = rect(img, state.ufo_x, state.ufo_y, ENEMY_W, ENEMY_H, UFO_COLOR,
-               state.ufo_appearance_counter == 0)
-    # ship
+    # --- remaining sprites: unrolled rect masks --------------------------
+    img = rect(img, state.ufo_x, state.ufo_y, ENEMY_W, ENEMY_H,
+               _pack_np(UFO_COLOR), state.ufo_appearance_counter == 0)
     img = rect(img, state.ship_x, state.ship_y, SHIP_W, SHIP_H,
-               jnp.asarray([35, 129, 59, 255], U8),
+               _pack_np(SHIP_COLOR),
                state.ship_alive | (state.ship_death_counter >= 0))
-    # lasers
+    lc = _pack_np(LASER_COLOR)
     img = rect(img, state.ship_laser_pos[0], state.ship_laser_pos[1],
-               LASER_W, LASER_H, LASER_COLOR, state.ship_laser_alive)
-
-    def one_laser(im, args):
-        pos, alive = args
-        return rect(im, pos[0], pos[1], LASER_W, LASER_H, LASER_COLOR,
-                    alive), None
-
-    img, _ = jax.lax.scan(one_laser, img,
-                          (state.elaser_pos, state.elaser_alive))
-    return img
+               LASER_W, LASER_H, lc, state.ship_laser_alive)
+    for i in range(MAX_ENEMY_LASERS):
+        img = rect(img, state.elaser_pos[i, 0], state.elaser_pos[i, 1],
+                   LASER_W, LASER_H, lc, state.elaser_alive[i])
+    return _unpack_u32(img)
 
 
 # ---------------------------------------------------------------------------
@@ -603,7 +638,7 @@ def state_to_json(config: Config, state: State) -> dict:
         })
     shields = []
     sa = np.asarray(state.shield_alpha)
-    sp = np.asarray(config.shield_pos)
+    sp = np.asarray(config.shield_pos_static)
     for s in range(sa.shape[0]):
         data = [[{"r": int(SHIELD_COLOR[0]), "g": int(SHIELD_COLOR[1]),
                   "b": int(SHIELD_COLOR[2]),
