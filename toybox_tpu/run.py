@@ -144,33 +144,50 @@ def train(args, extra_kwargs):
     return state, lg
 
 
-def play(args, state):
-    """Greedy eval rollouts on the batched env (reference run.py:211-246)."""
+def play(args, state, n_envs=8, max_chunks=40, chunk=64):
+    """Eval rollouts on the batched env (reference run.py:211-246 --play).
+
+    Steps are batched into jitted chunks (a per-step loop over a remote
+    device is round-trip-latency-bound); episode returns print as
+    episodes finish anywhere in the batch."""
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from toybox_tpu.envs.pipeline import make_rl_env
     from toybox_tpu.rl.policies import build_policy
 
     game = env_id_to_game(args.env)
-    env = make_rl_env(game, 1, episodic_life=False, clip_rewards=False)
+    env = make_rl_env(game, n_envs, episodic_life=False, clip_rewards=False)
     _, kwargs = get_learn_function(args.alg)
     network = args.network or kwargs.get("network", "cnn")
     module, p_init, p_step, _ = build_policy(env.obs_shape, env.num_actions,
                                              network)
     params = state.params
-    st, obs = jax.jit(env.reset)(np.zeros(1, np.uint32))
-    step = jax.jit(env.step)
+
+    @jax.jit
+    def run_chunk(st, totals, key):
+        def body(carry, _):
+            st, totals, key = carry
+            key, akey = jax.random.split(key)
+            actions, _, _, _ = p_step(params, st.frames, akey)
+            st, _, _, done, info = env.step(st, actions)
+            totals = totals + info["raw_reward"]
+            finished = jnp.where(done, totals, jnp.nan)
+            totals = jnp.where(done, 0.0, totals)
+            return (st, totals, key), finished
+
+        (st, totals, key), finished = jax.lax.scan(
+            body, (st, totals, key), None, length=chunk)
+        return st, totals, key, finished
+
+    st, _ = jax.jit(env.reset)(jnp.arange(n_envs, dtype=jnp.uint32))
+    totals = jnp.zeros(n_envs)
     key = jax.random.PRNGKey(0)
-    episode_rew = 0.0
-    for _ in range(5000):
-        key, akey = jax.random.split(key)
-        actions, _, _, _ = p_step(params, st.frames, akey)
-        st, obs, rew, done, info = step(st, actions)
-        episode_rew += float(info["raw_reward"][0])
-        if bool(done[0]):
-            print(f"episode_rew={episode_rew}")
-            episode_rew = 0.0
+    for _ in range(max_chunks):
+        st, totals, key, finished = run_chunk(st, totals, key)
+        for r in np.asarray(finished)[~np.isnan(np.asarray(finished))]:
+            print(f"episode_rew={float(r)}")
 
 
 def main(argv=None):
