@@ -185,3 +185,23 @@ def test_acktr_conv_step_runs():
     state, metrics = jax.jit(step, donate_argnums=(0,))(state)
     assert np.isfinite(float(metrics["policy_loss"]))
     assert np.isfinite(float(metrics["step_coeff"]))
+
+
+def test_recurrent_ppo_learns_fixed_sequence():
+    """The memorization task needs memory: a recurrent policy should beat
+    the 1/n random baseline where a feedforward one plateaus (the
+    reference's test_fixed_sequence pattern)."""
+    from toybox_tpu.rl.ppo_recurrent import make_recurrent_ppo
+    n_act = 3
+    env = make_fixed_sequence_env(16, n_actions=n_act, episode_len=8)
+    init_fn, step, _ = make_recurrent_ppo(
+        env, network="lstm", nlstm=32, nsteps=16, nminibatches=2,
+        noptepochs=4, lr=5e-3, cliprange=0.2, gamma=0.5,
+        total_updates=4000, network_kwargs=dict(num_hidden=32))
+    state = init_fn(0)
+    sj = jax.jit(step, donate_argnums=(0,))
+    last = None
+    for _ in range(300):
+        state, last = sj(state)
+    r = float(last["mean_reward"])
+    assert r > 0.6, f"recurrent ppo failed to memorize the sequence: {r}"

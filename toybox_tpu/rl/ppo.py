@@ -219,7 +219,20 @@ def learn(*, env=None, game="breakout", num_envs=8, total_timesteps=10_000,
           seed=0, network="cnn", nsteps=128, nminibatches=4, noptepochs=4,
           lr=2.5e-4, cliprange=0.1, gamma=0.99, lam=0.95, ent_coef=0.01,
           vf_coef=0.5, max_grad_norm=0.5, log_interval=1, save_path=None,
-          load_path=None, logger=None, mesh=None, network_kwargs=None):
+          load_path=None, logger=None, mesh=None, network_kwargs=None,
+          **extra):
+    if network in ("lstm", "cnn_lstm", "cnn_lnlstm"):
+        from toybox_tpu.rl.ppo_recurrent import learn as rlearn
+        return rlearn(env=env, game=game, num_envs=num_envs,
+                      total_timesteps=total_timesteps, seed=seed,
+                      network=network, nsteps=nsteps,
+                      nminibatches=nminibatches, noptepochs=noptepochs,
+                      lr=lr, cliprange=cliprange, gamma=gamma, lam=lam,
+                      ent_coef=ent_coef, vf_coef=vf_coef,
+                      max_grad_norm=max_grad_norm,
+                      log_interval=log_interval, save_path=save_path,
+                      load_path=load_path, logger=logger,
+                      network_kwargs=network_kwargs, **extra)
     env_fns = env if env is not None else make_rl_env(game, num_envs)
     nbatch = env_fns.num_envs * nsteps
     total_updates = max(int(total_timesteps) // (nbatch * 4), 1)
