@@ -17,6 +17,7 @@ steps + one sgd step + masked target sync.
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Any
 
 import flax.linen as nn
@@ -282,12 +283,23 @@ def learn(*, env=None, game="breakout", num_envs=4, total_timesteps=100_000,
     if load_path is not None:
         state = state.replace(params=load_params(load_path, state.params))
 
-    cycle_jit = jax.jit(cycle, donate_argnums=(0,))
-    frames_per_cycle = train_freq * env_fns.num_envs * 4  # pipeline skip=4
+    # batch many cycles into one jitted scan: a per-cycle host loop is
+    # dispatch-latency-bound (each cycle is tiny device work)
+    jit_cycles = max(int(_ignored.get("jit_cycles", 16)), 1)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run_cycles(state):
+        def body(st, _):
+            st, metrics = cycle(st)
+            return st, metrics
+        state, metrics = jax.lax.scan(body, state, None, length=jit_cycles)
+        return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+
+    frames_per_cycle = train_freq * env_fns.num_envs * 4 * jit_cycles
     ncycles = max(int(total_timesteps) // frames_per_cycle, 1)
     t0 = time.perf_counter()
     for i in range(1, ncycles + 1):
-        state, metrics = cycle_jit(state)
+        state, metrics = run_cycles(state)
         if logger is not None and i % log_interval == 0:
             m = jax.device_get(metrics)
             logger.logkv("steps", i * frames_per_cycle)
