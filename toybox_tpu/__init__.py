@@ -22,8 +22,3 @@ from toybox_tpu.ctoybox import Input, Simulator, State, Toybox
 from toybox_tpu.games import GAMES, get_game
 
 __all__ = ["Toybox", "Simulator", "State", "Input", "GAMES", "get_game"]
-
-from toybox_tpu.core.types import Input
-from toybox_tpu.ctoybox import Simulator, State, Toybox
-
-__all__ = ["Toybox", "Simulator", "State", "Input"]

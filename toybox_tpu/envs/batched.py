@@ -55,6 +55,9 @@ class BatchedEnvFns:
     obs_shape: tuple
     num_actions: int
     legal_actions: tuple
+    # engine frames consumed per step() call (frameskip pipelines set >1 so
+    # trainers can account timesteps without hardcoding a skip of 4)
+    frames_per_step: int = 1
 
 
 def _make_obs_fn(module, obs_mode):

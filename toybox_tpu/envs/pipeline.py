@@ -58,6 +58,9 @@ def make_rl_env(game_name: str, num_envs: int, config=None, skip: int = 4,
     matmul warp on TPU backends (where available for the game) and the
     fused-XLA path elsewhere.
     """
+    if skip < 2:
+        raise ValueError("make_rl_env requires skip >= 2 (the last two "
+                         "frames are always rendered for the max-pool)")
     module = get_game(game_name)
     inner = make_batched_env(game_name, num_envs, config=config,
                              obs_mode="none", auto_reset=True)
@@ -94,18 +97,23 @@ def make_rl_env(game_name: str, num_envs: int, config=None, skip: int = 4,
         total_r = jnp.zeros(num_envs, F32)
         done_any = jnp.zeros(num_envs, jnp.bool_)
 
+        # The inner env auto-resets mid-macro-step; once an episode has
+        # finished, later inner frames belong to the NEW episode and their
+        # rewards must not leak into the finishing episode's return
+        # (reference MaxAndSkipEnv breaks on done, atari_wrappers.py:205-211).
+
         # frames 1..skip-2: state-only steps (no render)
-        for _ in range(max(skip - 2, 0)):
+        for _ in range(skip - 2):
             env_state, _, r, d, _ = inner.step(env_state, actions)
-            total_r += r
+            total_r += jnp.where(done_any, 0.0, r)
             done_any |= d
         # last two frames: render for the max-pool
         env_state, _, r, d, _ = inner.step(env_state, actions)
-        total_r += r
+        total_r += jnp.where(done_any, 0.0, r)
         done_any |= d
         f1 = render_gray(env_state.game)
         env_state, _, r, d, info = inner.step(env_state, actions)
-        total_r += r
+        total_r += jnp.where(done_any, 0.0, r)
         done_any |= d
         f2 = render_gray(env_state.game)
 
@@ -132,4 +140,5 @@ def make_rl_env(game_name: str, num_envs: int, config=None, skip: int = 4,
     return BatchedEnvFns(
         game_name=game_name, num_envs=num_envs, obs_mode="stacked_gray",
         reset=reset, step=step, obs_shape=obs_shape,
-        num_actions=inner.num_actions, legal_actions=inner.legal_actions)
+        num_actions=inner.num_actions, legal_actions=inner.legal_actions,
+        frames_per_step=skip)

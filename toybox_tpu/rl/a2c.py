@@ -131,7 +131,8 @@ def learn(*, env=None, game="breakout", num_envs=16, total_timesteps=10_000,
           **_ignored):
     env_fns = env if env is not None else make_rl_env(game, num_envs)
     nbatch = env_fns.num_envs * nsteps
-    total_updates = max(int(total_timesteps) // (nbatch * 4), 1)
+    fpstep = getattr(env_fns, "frames_per_step", 1)  # actual frameskip
+    total_updates = max(int(total_timesteps) // (nbatch * fpstep), 1)
 
     init_fn, train_step = make_a2c(
         env_fns, network=network, lr=lr, nsteps=nsteps, gamma=gamma,
@@ -149,9 +150,9 @@ def learn(*, env=None, game="breakout", num_envs=16, total_timesteps=10_000,
         if logger is not None and update % log_interval == 0:
             m = jax.device_get(metrics)
             logger.logkv("nupdates", update)
-            logger.logkv("total_timesteps", update * nbatch * 4)
+            logger.logkv("total_timesteps", update * nbatch * fpstep)
             logger.logkv("fps",
-                         int(update * nbatch * 4 /
+                         int(update * nbatch * fpstep /
                              (time.perf_counter() - t0)))
             for k, v in m.items():
                 logger.logkv(k, float(v))

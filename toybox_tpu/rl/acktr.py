@@ -201,7 +201,8 @@ def learn(*, env=None, game="breakout", num_envs=16, total_timesteps=100_000,
           load_path=None, logger=None, **_ignored):
     env_fns = env if env is not None else make_rl_env(game, num_envs)
     nbatch = env_fns.num_envs * nsteps
-    total_updates = max(int(total_timesteps) // (nbatch * 4), 1)
+    fpstep = getattr(env_fns, "frames_per_step", 1)  # actual frameskip
+    total_updates = max(int(total_timesteps) // (nbatch * fpstep), 1)
     init_fn, train_step, _ = make_acktr(
         env_fns, nsteps=nsteps, lr=lr, gamma=gamma, ent_coef=ent_coef,
         vf_coef=vf_coef, kfac_clip=kfac_clip, total_updates=total_updates)
@@ -215,7 +216,7 @@ def learn(*, env=None, game="breakout", num_envs=16, total_timesteps=100_000,
         if logger is not None and update % log_interval == 0:
             m = jax.device_get(metrics)
             logger.logkv("nupdates", update)
-            logger.logkv("fps", int(update * nbatch * 4 /
+            logger.logkv("fps", int(update * nbatch * fpstep /
                                     (time.perf_counter() - t0)))
             for k, v in m.items():
                 logger.logkv(k, float(v))

@@ -235,7 +235,10 @@ def learn(*, env=None, game="breakout", num_envs=8, total_timesteps=10_000,
                       network_kwargs=network_kwargs, **extra)
     env_fns = env if env is not None else make_rl_env(game, num_envs)
     nbatch = env_fns.num_envs * nsteps
-    total_updates = max(int(total_timesteps) // (nbatch * 4), 1)
+    # engine frames per env.step (the frameskip); timestep accounting follows
+    # the env's actual skip rather than assuming the atari default of 4
+    fpstep = getattr(env_fns, "frames_per_step", 1)
+    total_updates = max(int(total_timesteps) // (nbatch * fpstep), 1)
 
     init_fn, train_step, _ = make_ppo(
         env_fns, network=network, lr=lr, cliprange=cliprange, nsteps=nsteps,
@@ -267,8 +270,8 @@ def learn(*, env=None, game="breakout", num_envs=8, total_timesteps=10_000,
             elapsed = time.perf_counter() - t0
             logger.logkv("misc/serial_timesteps", update * nsteps)
             logger.logkv("misc/nupdates", update)
-            logger.logkv("misc/total_timesteps", update * nbatch * 4)
-            logger.logkv("fps", int(update * nbatch * 4 / elapsed))
+            logger.logkv("misc/total_timesteps", update * nbatch * fpstep)
+            logger.logkv("fps", int(update * nbatch * fpstep / elapsed))
             for k, v in metrics.items():
                 logger.logkv(k if "/" in k else f"loss/{k}"
                              if "loss" in k or k in ("approxkl", "clipfrac")

@@ -230,7 +230,8 @@ def learn(*, env=None, game="breakout", num_envs=8, total_timesteps=100_000,
           load_path=None, logger=None, network_kwargs=None, **_ignored):
     env_fns = env if env is not None else make_rl_env(game, num_envs)
     nbatch = env_fns.num_envs * nsteps
-    total_updates = max(int(total_timesteps) // (nbatch * 4), 1)
+    fpstep = getattr(env_fns, "frames_per_step", 1)  # actual frameskip
+    total_updates = max(int(total_timesteps) // (nbatch * fpstep), 1)
 
     init_fn, train_step = make_trpo(
         env_fns, network=network, nsteps=nsteps, gamma=gamma, lam=lam,
@@ -250,7 +251,7 @@ def learn(*, env=None, game="breakout", num_envs=8, total_timesteps=100_000,
         if logger is not None and update % log_interval == 0:
             m = jax.device_get(metrics)
             logger.logkv("nupdates", update)
-            logger.logkv("fps", int(update * nbatch * 4 /
+            logger.logkv("fps", int(update * nbatch * fpstep /
                                     (time.perf_counter() - t0)))
             for k, v in m.items():
                 logger.logkv(k, float(v))
