@@ -48,9 +48,10 @@ def test_new_game_defaults(cfg):
     assert int(st.ship_x) == 68 and int(st.ship_y) == 185
     assert int(jnp.sum(st.enemy_alive)) == 36
     # formation layout from the reference default state
-    xy = np.asarray(st.enemy_xy)
-    assert tuple(xy[0]) == (44, 31)
-    assert tuple(xy[35]) == (44 + 5 * 32, 31 + 5 * 18)
+    ex = np.asarray(st.enemy_x)
+    ey = np.asarray(st.enemy_y)
+    assert (ex[0], ey[0]) == (44, 31)
+    assert (ex[35], ey[35]) == (44 + 5 * 32, 31 + 5 * 18)
     assert int(st.ufo_appearance_counter) == 500
     # shields: full reference mask
     assert st.shield_alpha.shape == (3, si.SHIELD_H, si.SHIELD_W)
@@ -72,9 +73,9 @@ def test_ship_fires_single_laser(cfg, step):
     st = run_intro(cfg, step, si.new_game(cfg, seed=0))
     st = step(cfg, st, FIRE)
     assert bool(st.ship_laser_alive)
-    y0 = int(st.ship_laser_pos[1])
+    y0 = int(st.ship_laser_y)
     st = step(cfg, st, FIRE)             # second FIRE: still only one laser
-    assert int(st.ship_laser_pos[1]) == y0 - si.SHIP_LASER_SPEED
+    assert int(st.ship_laser_y) == y0 - si.SHIP_LASER_SPEED
 
 
 def test_laser_kills_enemy_and_scores(cfg, step):
@@ -103,18 +104,18 @@ def test_bottom_row_scores_10(cfg, step):
 
 def test_march_advances_and_reverses(cfg, step):
     st = run_intro(cfg, step, si.new_game(cfg, seed=0))
-    x0 = np.asarray(st.enemy_xy)[:, 0].copy()
+    x0 = np.asarray(st.enemy_x).copy()
     dirs = set()
-    lowest = int(np.asarray(st.enemy_xy)[:, 1].max())
+    lowest = int(np.asarray(st.enemy_y).max())
     for _ in range(4000):
         st = step(cfg, st, NOOP)
         dirs.add(int(st.move_dir))
-        if len(dirs) == 2 and int(np.asarray(st.enemy_xy)[:, 1].max()) > lowest:
+        if len(dirs) == 2 and int(np.asarray(st.enemy_y).max()) > lowest:
             break
-    x1 = np.asarray(st.enemy_xy)[:, 0]
+    x1 = np.asarray(st.enemy_x)
     assert (x1 != x0).any()
     assert {si.LEFT_D, si.RIGHT_D} <= dirs, "formation should reverse"
-    assert int(np.asarray(st.enemy_xy)[:, 1].max()) > lowest, "should drop"
+    assert int(np.asarray(st.enemy_y).max()) > lowest, "should drop"
 
 
 def test_enemy_fire_and_ship_death(cfg, step):
@@ -163,8 +164,10 @@ def test_trajectory_continues_after_roundtrip(cfg, step):
         st = step(cfg, st, LEFT)
         st2 = step(cfg, st2, LEFT)
     assert int(st.score) == int(st2.score)
-    np.testing.assert_array_equal(np.asarray(st.enemy_xy),
-                                  np.asarray(st2.enemy_xy))
+    np.testing.assert_array_equal(np.asarray(st.enemy_x),
+                                  np.asarray(st2.enemy_x))
+    np.testing.assert_array_equal(np.asarray(st.enemy_y),
+                                  np.asarray(st2.enemy_y))
     assert int(st.ship_x) == int(st2.ship_x)
 
 
@@ -189,8 +192,10 @@ def test_vmap_matches_single(cfg):
         singles = [sstep(cfg, s, FIRE) for s in singles]
     for i in range(n):
         assert int(sts.score[i]) == int(singles[i].score)
-        np.testing.assert_array_equal(np.asarray(sts.enemy_xy[i]),
-                                      np.asarray(singles[i].enemy_xy))
+        np.testing.assert_array_equal(np.asarray(sts.enemy_x[i]),
+                                      np.asarray(singles[i].enemy_x))
+        np.testing.assert_array_equal(np.asarray(sts.enemy_y[i]),
+                                      np.asarray(singles[i].enemy_y))
 
 
 def test_render(cfg, step):

@@ -133,16 +133,21 @@ class State:
     ship_alive: jnp.ndarray      # bool
     ship_death_counter: jnp.ndarray  # i32 (-1 = null)
     ship_death_hit_1: jnp.ndarray    # bool
-    # ship laser (at most one)
+    # ship laser (at most one). Coordinates are split into scalar-component
+    # arrays — a trailing [.., 2] dim would sit in the 128-wide TPU lane
+    # slot and blow up every op on these hot arrays (CLAUDE.md rule #1).
     ship_laser_alive: jnp.ndarray  # bool
-    ship_laser_pos: jnp.ndarray    # i32[2]
+    ship_laser_x: jnp.ndarray      # i32
+    ship_laser_y: jnp.ndarray      # i32
     ship_laser_t: jnp.ndarray      # i32 frames alive
     # enemy lasers
     elaser_alive: jnp.ndarray      # bool[L]
-    elaser_pos: jnp.ndarray        # i32[L, 2]
+    elaser_x: jnp.ndarray          # i32[L]
+    elaser_y: jnp.ndarray          # i32[L]
     elaser_t: jnp.ndarray          # i32[L]
     # enemies (SoA, id = row * N_COLS + col)
-    enemy_xy: jnp.ndarray          # i32[N, 2]
+    enemy_x: jnp.ndarray           # i32[N]
+    enemy_y: jnp.ndarray           # i32[N]
     enemy_alive: jnp.ndarray       # bool[N]
     enemy_death_counter: jnp.ndarray  # i32[N] (-1 = null)
     # shared march state (live-schema enemies_movement)
@@ -193,8 +198,8 @@ def config_to_json(config: Config) -> dict:
 def _formation_xy():
     ids = np.arange(N_ENEMIES)
     row, col = ids // N_COLS, ids % N_COLS
-    return np.stack([ENEMY_X0 + col * ENEMY_DX,
-                     ENEMY_Y0 + row * ENEMY_DY], axis=-1).astype(np.int32)
+    return ((ENEMY_X0 + col * ENEMY_DX).astype(np.int32),
+            (ENEMY_Y0 + row * ENEMY_DY).astype(np.int32))
 
 
 def new_game(config: Config, seed=None) -> State:
@@ -217,12 +222,15 @@ def new_game(config: Config, seed=None) -> State:
         ship_death_counter=jnp.asarray(-1, I32),
         ship_death_hit_1=jnp.asarray(True, BOOL),
         ship_laser_alive=jnp.asarray(False, BOOL),
-        ship_laser_pos=jnp.zeros(2, I32),
+        ship_laser_x=jnp.asarray(0, I32),
+        ship_laser_y=jnp.asarray(0, I32),
         ship_laser_t=jnp.asarray(0, I32),
         elaser_alive=jnp.zeros(MAX_ENEMY_LASERS, BOOL),
-        elaser_pos=jnp.zeros((MAX_ENEMY_LASERS, 2), I32),
+        elaser_x=jnp.zeros(MAX_ENEMY_LASERS, I32),
+        elaser_y=jnp.zeros(MAX_ENEMY_LASERS, I32),
         elaser_t=jnp.zeros(MAX_ENEMY_LASERS, I32),
-        enemy_xy=jnp.asarray(_formation_xy()),
+        enemy_x=jnp.asarray(_formation_xy()[0]),
+        enemy_y=jnp.asarray(_formation_xy()[1]),
         enemy_alive=jnp.ones(N_ENEMIES, BOOL),
         enemy_death_counter=jnp.full(N_ENEMIES, -1, I32),
         move_counter=jnp.asarray(32, I32),
@@ -315,23 +323,23 @@ def step(config: Config, state: State, inp: Input) -> State:
     can_fire = run & state.ship_alive & fire & ~state.ship_laser_alive
     state = state.replace(
         ship_laser_alive=state.ship_laser_alive | can_fire,
-        ship_laser_pos=jnp.where(
-            can_fire,
-            jnp.stack([state.ship_x + SHIP_W // 2, state.ship_y - LASER_H]),
-            state.ship_laser_pos),
+        ship_laser_x=jnp.where(can_fire, state.ship_x + SHIP_W // 2,
+                               state.ship_laser_x),
+        ship_laser_y=jnp.where(can_fire, state.ship_y - LASER_H,
+                               state.ship_laser_y),
         ship_laser_t=jnp.where(can_fire, 0, state.ship_laser_t))
 
     # --- move lasers ------------------------------------------------------
-    slp = state.ship_laser_pos.at[1].add(
-        jnp.where(run & state.ship_laser_alive, -SHIP_LASER_SPEED, 0))
-    sl_alive = state.ship_laser_alive & (slp[1] + LASER_H > 0)
-    elp = state.elaser_pos.at[:, 1].add(
-        jnp.where(run & state.elaser_alive, ENEMY_LASER_SPEED, 0))
-    el_alive = state.elaser_alive & (elp[:, 1] < HEIGHT)
+    sly = state.ship_laser_y + jnp.where(
+        run & state.ship_laser_alive, -SHIP_LASER_SPEED, 0)
+    sl_alive = state.ship_laser_alive & (sly + LASER_H > 0)
+    ely = state.elaser_y + jnp.where(
+        run & state.elaser_alive, ENEMY_LASER_SPEED, 0)
+    el_alive = state.elaser_alive & (ely < HEIGHT)
     state = state.replace(
-        ship_laser_pos=slp, ship_laser_alive=sl_alive,
+        ship_laser_y=sly, ship_laser_alive=sl_alive,
         ship_laser_t=state.ship_laser_t + 1,
-        elaser_pos=elp, elaser_alive=el_alive,
+        elaser_y=ely, elaser_alive=el_alive,
         elaser_t=state.elaser_t + 1)
 
     # --- enemy march ------------------------------------------------------
@@ -341,27 +349,23 @@ def step(config: Config, state: State, inp: Input) -> State:
     going_right = state.move_dir == RIGHT_D
     dx = jnp.where(going_right, MARCH_STEP_X, -MARCH_STEP_X)
     # would any alive enemy cross the margin?
-    ex = state.enemy_xy[:, 0]
+    ex = state.enemy_x
     at_edge = jnp.any(jnp.where(
         state.enemy_alive,
         jnp.where(going_right, ex + dx + ENEMY_W > MARCH_RIGHT_LIMIT,
                   ex + dx < MARCH_LEFT_LIMIT),
         False))
     reverse = tick & at_edge
-    shift = jnp.where(tick,
-                      jnp.where(reverse,
-                                jnp.stack([jnp.asarray(0, I32),
-                                           jnp.asarray(MARCH_STEP_Y, I32)]),
-                                jnp.stack([dx, jnp.asarray(0, I32)])),
-                      jnp.zeros(2, I32))
-    enemy_xy = state.enemy_xy + shift[None, :]
+    shift_x = jnp.where(tick & ~reverse, dx, 0)
+    shift_y = jnp.where(reverse, MARCH_STEP_Y, 0)
     new_dir = jnp.where(reverse,
                         jnp.where(going_right, LEFT_D, RIGHT_D),
                         state.move_dir)
     # cadence speeds up as the formation thins
     period = jnp.maximum(2 + n_alive, 4)
     state = state.replace(
-        enemy_xy=enemy_xy,
+        enemy_x=state.enemy_x + shift_x,
+        enemy_y=state.enemy_y + shift_y,
         move_dir=new_dir,
         move_counter=jnp.where(tick, period, mc),
         visual_orientation=jnp.where(tick, ~state.visual_orientation,
@@ -380,7 +384,7 @@ def step(config: Config, state: State, inp: Input) -> State:
     key, rcol = rng.randint(key, N_COLS)
     # TargetPlayer: aim at the ship's column with prob (1 - jitter)
     ship_cx = state.ship_x + SHIP_W // 2
-    coldist = jnp.abs(state.enemy_xy[:, 0] + ENEMY_W // 2 - ship_cx)
+    coldist = jnp.abs(state.enemy_x + ENEMY_W // 2 - ship_cx)
     col_of = jnp.arange(N_ENEMIES, dtype=I32) % N_COLS
     target_col = col_of[jnp.argmin(jnp.where(state.enemy_alive, coldist, 9999))]
     random_mode = (config.enemy_protocol == 1) | (u < config.jitter)
@@ -389,22 +393,28 @@ def step(config: Config, state: State, inp: Input) -> State:
     in_col = (col_of == chosen_col) & state.enemy_alive
     any_in_col = jnp.any(in_col)
     in_col = jnp.where(any_in_col, in_col, state.enemy_alive)
-    shooter = jnp.argmax(jnp.where(in_col, state.enemy_xy[:, 1], -1))
+    # bottom-most alive enemy in the chosen column, gather-free: masked max
+    # of y, then its x by a masked reduction over (in_col & y == max_y)
+    shooter_y = jnp.max(jnp.where(in_col, state.enemy_y, -1))
+    is_shooter = in_col & (state.enemy_y == shooter_y)
+    # ties broken by lowest id (argmax picks the first True)
+    first = jnp.argmax(is_shooter)
+    is_shooter = is_shooter & (jnp.arange(N_ENEMIES) == first)
+    shooter_x = jnp.sum(jnp.where(is_shooter, state.enemy_x, 0))
     # spawn in a free laser slot
     free = ~state.elaser_alive
     slot = jnp.argmax(free)
     can = do_shoot & jnp.any(free)
-    spawn = jnp.stack([state.enemy_xy[shooter, 0] + ENEMY_W // 2,
-                       state.enemy_xy[shooter, 1] + ENEMY_H])
+    slot_mask = jnp.arange(MAX_ENEMY_LASERS) == slot
+    spawn_x = shooter_x + ENEMY_W // 2
+    spawn_y = shooter_y + ENEMY_H
     state = state.replace(
         rng=key,
         shot_timer=jnp.where(do_shoot, state.enemy_shot_delay, st),
-        elaser_alive=jnp.where(can, state.elaser_alive.at[slot].set(True),
-                               state.elaser_alive),
-        elaser_pos=jnp.where(can, state.elaser_pos.at[slot].set(spawn),
-                             state.elaser_pos),
-        elaser_t=jnp.where(can, state.elaser_t.at[slot].set(0),
-                           state.elaser_t))
+        elaser_alive=jnp.where(can & slot_mask, True, state.elaser_alive),
+        elaser_x=jnp.where(can & slot_mask, spawn_x, state.elaser_x),
+        elaser_y=jnp.where(can & slot_mask, spawn_y, state.elaser_y),
+        elaser_t=jnp.where(can & slot_mask, 0, state.elaser_t))
 
     # --- ufo --------------------------------------------------------------
     uac = state.ufo_appearance_counter
@@ -420,25 +430,26 @@ def step(config: Config, state: State, inp: Input) -> State:
                           ufo_death_counter=udc)
 
     # --- ship laser collisions -------------------------------------------
-    lx = state.ship_laser_pos[0]
-    ly = state.ship_laser_pos[1]
+    lx = state.ship_laser_x
+    ly = state.ship_laser_y
     sl = state.ship_laser_alive
 
-    # vs enemies (topmost pixel of laser inside enemy box)
+    # vs enemies (topmost pixel of laser inside enemy box). Enemies are
+    # 32px apart and the laser is 2px wide, so ehit has at most one True;
+    # points/death-animation flow through masked reductions, no gathers.
     ehit = (sl & state.enemy_alive
             & _overlap(lx, ly, LASER_W, LASER_H,
-                       state.enemy_xy[:, 0], state.enemy_xy[:, 1],
+                       state.enemy_x, state.enemy_y,
                        ENEMY_W, ENEMY_H))
     any_ehit = jnp.any(ehit)
-    victim = jnp.argmax(ehit)
     row_of = jnp.arange(N_ENEMIES, dtype=I32) // N_COLS
-    points = config.row_scores[row_of[victim]]
+    points_of = config.row_scores[row_of]  # static indices: one-time gather
+    points = jnp.sum(jnp.where(ehit, points_of, 0))
     state = state.replace(
         enemy_alive=state.enemy_alive & ~ehit,
-        enemy_death_counter=jnp.where(
-            any_ehit, state.enemy_death_counter.at[victim].set(DEATH_ANIM),
-            state.enemy_death_counter),
-        score=state.score + jnp.where(any_ehit, points, 0),
+        enemy_death_counter=jnp.where(ehit, DEATH_ANIM,
+                                      state.enemy_death_counter),
+        score=state.score + points,
         ship_laser_alive=sl & ~any_ehit)
 
     # vs ufo
@@ -457,8 +468,8 @@ def step(config: Config, state: State, inp: Input) -> State:
     # vs shields: all lasers (ship + enemy) against all shields in one
     # batched gather-free pass
     sl = state.ship_laser_alive
-    elx = state.elaser_pos[:, 0]
-    ely = state.elaser_pos[:, 1]
+    elx = state.elaser_x
+    ely = state.elaser_y
     all_lx = jnp.concatenate([(lx + LASER_W // 2)[None],
                               elx + LASER_W // 2])
     all_ly = jnp.concatenate([ly[None], ely + LASER_H])
@@ -488,7 +499,7 @@ def step(config: Config, state: State, inp: Input) -> State:
 
     # --- enemies reaching the ship row ends the game ----------------------
     landed = jnp.any(state.enemy_alive
-                     & (state.enemy_xy[:, 1] + ENEMY_H >= ENEMY_FLOOR))
+                     & (state.enemy_y + ENEMY_H >= ENEMY_FLOOR))
     state = state.replace(lives=jnp.where(landed & run, 0, state.lives))
 
     # --- level clear ------------------------------------------------------
@@ -497,8 +508,10 @@ def step(config: Config, state: State, inp: Input) -> State:
     state = state.replace(
         level=jnp.where(cleared, state.level + 1, state.level),
         enemy_alive=jnp.where(cleared, True, state.enemy_alive),
-        enemy_xy=jnp.where(cleared, jnp.asarray(_formation_xy()),
-                           state.enemy_xy),
+        enemy_x=jnp.where(cleared, jnp.asarray(_formation_xy()[0]),
+                          state.enemy_x),
+        enemy_y=jnp.where(cleared, jnp.asarray(_formation_xy()[1]),
+                          state.enemy_y),
         move_dir=jnp.where(cleared, RIGHT_D, state.move_dir),
         move_counter=jnp.where(cleared, 32, state.move_counter),
         shield_alpha=jnp.where(
@@ -566,8 +579,8 @@ def render(config: Config, state: State) -> jnp.ndarray:
     # a vmapped dynamic_update_slice lowered to a scatter and cost ~10ms
     show = (state.enemy_alive
             | (state.enemy_death_counter >= 0)).reshape(N_ROWS, N_COLS)
-    rel_x = xs - state.enemy_xy[0, 0]
-    rel_y = ys - state.enemy_xy[0, 1]
+    rel_x = xs - state.enemy_x[0]
+    rel_y = ys - state.enemy_y[0]
     in_sprite = ((rel_x >= 0) & (rel_y >= 0)
                  & (rel_x < _BAND_W) & (rel_y < _BAND_H)
                  & (rel_x % ENEMY_DX < ENEMY_W)
@@ -598,10 +611,10 @@ def render(config: Config, state: State) -> jnp.ndarray:
                _pack_np(SHIP_COLOR),
                state.ship_alive | (state.ship_death_counter >= 0))
     lc = _pack_np(LASER_COLOR)
-    img = rect(img, state.ship_laser_pos[0], state.ship_laser_pos[1],
+    img = rect(img, state.ship_laser_x, state.ship_laser_y,
                LASER_W, LASER_H, lc, state.ship_laser_alive)
     for i in range(MAX_ENEMY_LASERS):
-        img = rect(img, state.elaser_pos[i, 0], state.elaser_pos[i, 1],
+        img = rect(img, state.elaser_x[i], state.elaser_y[i],
                    LASER_W, LASER_H, lc, state.elaser_alive[i])
     return _unpack_u32(img)
 
@@ -613,9 +626,9 @@ def render(config: Config, state: State) -> jnp.ndarray:
 _DIR_NAMES = ["Up", "Down", "Left", "Right"]
 
 
-def _laser_json(pos, t, movement, speed):
+def _laser_json(x, y, t, movement, speed):
     return {
-        "x": int(pos[0]), "y": int(pos[1]), "w": LASER_W, "h": LASER_H,
+        "x": int(x), "y": int(y), "w": LASER_W, "h": LASER_H,
         "t": int(t), "movement": _DIR_NAMES[movement], "speed": speed,
         "color": {"r": 255, "g": 255, "b": 255, "a": 255},
     }
@@ -623,14 +636,15 @@ def _laser_json(pos, t, movement, speed):
 
 def state_to_json(config: Config, state: State) -> dict:
     enemies = []
-    xy = np.asarray(state.enemy_xy)
+    ex = np.asarray(state.enemy_x)
+    ey = np.asarray(state.enemy_y)
     alive = np.asarray(state.enemy_alive)
     dc = np.asarray(state.enemy_death_counter)
     rs = np.asarray(config.row_scores)
     for i in range(N_ENEMIES):
         row, col = i // N_COLS, i % N_COLS
         enemies.append({
-            "x": int(xy[i, 0]), "y": int(xy[i, 1]),
+            "x": int(ex[i]), "y": int(ey[i]),
             "row": row, "col": col, "id": i,
             "alive": bool(alive[i]),
             "points": int(rs[row]),
@@ -649,11 +663,13 @@ def state_to_json(config: Config, state: State) -> dict:
     udc = int(state.ufo_death_counter)
     elasers = []
     ea = np.asarray(state.elaser_alive)
-    ep = np.asarray(state.elaser_pos)
+    epx = np.asarray(state.elaser_x)
+    epy = np.asarray(state.elaser_y)
     et = np.asarray(state.elaser_t)
     for i in range(MAX_ENEMY_LASERS):
         if ea[i]:
-            elasers.append(_laser_json(ep[i], et[i], DOWN_D, ENEMY_LASER_SPEED))
+            elasers.append(_laser_json(epx[i], epy[i], et[i], DOWN_D,
+                                       ENEMY_LASER_SPEED))
     return {
         "score": int(state.score),
         "lives": int(state.lives),
@@ -669,7 +685,8 @@ def state_to_json(config: Config, state: State) -> dict:
             "death_counter": None if sdc < 0 else sdc,
             "death_hit_1": bool(state.ship_death_hit_1),
         },
-        "ship_laser": (_laser_json(np.asarray(state.ship_laser_pos),
+        "ship_laser": (_laser_json(int(state.ship_laser_x),
+                                   int(state.ship_laser_y),
                                    int(state.ship_laser_t), UP_D,
                                    SHIP_LASER_SPEED)
                        if bool(state.ship_laser_alive) else None),
@@ -691,12 +708,14 @@ def state_to_json(config: Config, state: State) -> dict:
 
 def state_from_json(config: Config, d: dict) -> State:
     st = new_game(config)
-    xy = np.zeros((N_ENEMIES, 2), np.int32)
+    ex = np.zeros(N_ENEMIES, np.int32)
+    ey = np.zeros(N_ENEMIES, np.int32)
     alive = np.zeros(N_ENEMIES, bool)
     dc = np.full(N_ENEMIES, -1, np.int32)
     for e in d["enemies"]:
         i = int(e["id"])
-        xy[i] = (e["x"], e["y"])
+        ex[i] = e["x"]
+        ey[i] = e["y"]
         alive[i] = bool(e["alive"])
         if e.get("death_counter") is not None:
             dc[i] = int(e["death_counter"])
@@ -709,11 +728,13 @@ def state_from_json(config: Config, d: dict) -> State:
                 sa[s, y, x] = data[y][x]["a"] > 0
 
     ea = np.zeros(MAX_ENEMY_LASERS, bool)
-    ep = np.zeros((MAX_ENEMY_LASERS, 2), np.int32)
+    epx = np.zeros(MAX_ENEMY_LASERS, np.int32)
+    epy = np.zeros(MAX_ENEMY_LASERS, np.int32)
     et = np.zeros(MAX_ENEMY_LASERS, np.int32)
     for i, l in enumerate(d.get("enemy_lasers", [])[:MAX_ENEMY_LASERS]):
         ea[i] = True
-        ep[i] = (l["x"], l["y"])
+        epx[i] = l["x"]
+        epy[i] = l["y"]
         et[i] = l.get("t", 0)
 
     ship = d["ship"]
@@ -736,12 +757,15 @@ def state_from_json(config: Config, d: dict) -> State:
             I32),
         ship_death_hit_1=jnp.asarray(bool(ship.get("death_hit_1", False)), BOOL),
         ship_laser_alive=jnp.asarray(sl is not None, BOOL),
-        ship_laser_pos=jnp.asarray([sl["x"], sl["y"]] if sl else [0, 0], I32),
+        ship_laser_x=jnp.asarray(sl["x"] if sl else 0, I32),
+        ship_laser_y=jnp.asarray(sl["y"] if sl else 0, I32),
         ship_laser_t=jnp.asarray(sl["t"] if sl else 0, I32),
         elaser_alive=jnp.asarray(ea),
-        elaser_pos=jnp.asarray(ep),
+        elaser_x=jnp.asarray(epx),
+        elaser_y=jnp.asarray(epy),
         elaser_t=jnp.asarray(et),
-        enemy_xy=jnp.asarray(xy),
+        enemy_x=jnp.asarray(ex),
+        enemy_y=jnp.asarray(ey),
         enemy_alive=jnp.asarray(alive),
         enemy_death_counter=jnp.asarray(dc),
         move_counter=jnp.asarray(mv["move_counter"], I32),

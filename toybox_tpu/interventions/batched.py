@@ -80,8 +80,8 @@ _SPACE_INVADERS = {
     ("ufo", "y"): "ufo_y",
     ("ufo", "appearance_counter"): "ufo_appearance_counter",
     ("enemies", int, "alive"): "enemy_alive",
-    ("enemies", int, "x"): None,   # enemy_xy is [N, 2] — special-cased
-    ("enemies", int, "y"): None,
+    ("enemies", int, "x"): "enemy_x",
+    ("enemies", int, "y"): "enemy_y",
 }
 
 _TABLES = {
@@ -105,20 +105,9 @@ def _resolve(game: str, path: str):
     return field, idx
 
 
-def _special_si(states, parts, idx):
-    if parts[-1] in ("x", "y") and parts[0] == "enemies":
-        axis = 0 if parts[-1] == "x" else 1
-        return ("enemy_xy", (idx, axis))
-    raise KeyError(parts)
-
-
 def batched_get(states, game: str, path: str):
     """Read a property across all envs: returns [N] (or [N, ...])."""
     field, idx = _resolve(game, path)
-    if field is None:
-        parts = parse_property_access(path)
-        field, (i, axis) = _special_si(states, parts, idx)
-        return getattr(states, field)[:, i, axis]
     arr = getattr(states, field)
     return arr if idx is None else arr[:, idx]
 
@@ -131,16 +120,6 @@ def batched_set(states, game: str, path: str, value,
     env_mask: optional bool[N] restricting which envs are edited.
     """
     field, idx = _resolve(game, path)
-    if field is None:
-        parts = parse_property_access(path)
-        field, (i, axis) = _special_si(states, parts, idx)
-        arr = getattr(states, field)
-        new = arr.at[:, i, axis].set(jnp.asarray(value, arr.dtype))
-        if env_mask is not None:
-            m = jnp.asarray(env_mask).reshape((-1,) + (1,) * (arr.ndim - 1))
-            new = jnp.where(m, new, arr)
-        return states.replace(**{field: new})
-
     arr = getattr(states, field)
     value = jnp.asarray(value, arr.dtype)
     if idx is None:
