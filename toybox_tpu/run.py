@@ -50,10 +50,11 @@ ALG_DEFAULTS = {
     # reference acktr defaults (acktr/acktr_disc.py)
     "acktr": dict(nsteps=20, lr=0.25, ent_coef=0.01, vf_coef=0.5,
                   kfac_clip=0.001),
-    # ppo1 = the original PPO recipe (larger horizon, adam epochs)
-    "ppo1": dict(nsteps=256, nminibatches=4, lam=0.95, gamma=0.99,
-                 noptepochs=4, ent_coef=0.0, lr=3e-4, cliprange=0.2,
-                 network="cnn"),
+    # reference ppo1/run_atari.py pposgd defaults
+    "ppo1": dict(timesteps_per_actorbatch=256, clip_param=0.2,
+                 entcoeff=0.01, optim_epochs=4, optim_stepsize=1e-3,
+                 optim_batchsize=64, gamma=0.99, lam=0.95,
+                 schedule="linear", network="cnn"),
 }
 
 
@@ -122,7 +123,7 @@ def get_learn_function(alg):
         from toybox_tpu.rl.acktr import learn
         return learn, dict(ALG_DEFAULTS["acktr"])
     if alg == "ppo1":
-        from toybox_tpu.rl.ppo import learn
+        from toybox_tpu.rl.ppo1 import learn
         return learn, dict(ALG_DEFAULTS["ppo1"])
     raise ValueError(f"unknown alg {alg!r}")
 
