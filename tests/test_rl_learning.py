@@ -255,3 +255,28 @@ def test_ppo1_ob_filter_updates():
     c0 = float(state.ob_rms.count)
     state, _ = jax.jit(step)(state)
     assert float(state.ob_rms.count) > c0, "ob_rms not updated"
+
+
+def test_her_ddpg_relabeling_is_load_bearing():
+    """The reference-parity HER stack (goal-conditioned DDPG, future
+    strategy) must solve the sparse point-goal task while the same
+    learner WITHOUT relabeling (replay_strategy='none', reference
+    her.py:16-18) must not — i.e. the test fails if relabeling is
+    removed."""
+    from toybox_tpu.rl.her import make_her_ddpg
+
+    def final_success(strategy):
+        init_fn, cycle = make_her_ddpg(16, 2, replay_strategy=strategy)
+        state = init_fn(0)
+        cj = jax.jit(cycle, donate_argnums=(0,))
+        succ = []
+        for _ in range(150):
+            state, m = cj(state)
+            succ.append(float(m["success_rate"]))
+        return sum(succ[-20:]) / 20
+
+    her = final_success("future")
+    plain = final_success("none")
+    assert her > 0.5, f"HER failed the point-goal task: {her}"
+    assert plain < 0.25, f"ablation unexpectedly solved it: {plain}"
+    assert her > plain + 0.3
