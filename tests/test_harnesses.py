@@ -132,3 +132,19 @@ def test_human_play_key_encoder():
     assert keys_to_ale(True, False, False, False, False) == 2    # UP
     assert keys_to_ale(False, False, False, True, True) == 11    # RIGHTFIRE
     assert keys_to_ale(True, False, True, False, False) == 7     # UPLEFT
+
+
+def test_expert_extraction_from_committed_model():
+    """The GAIL expert pipeline must extract transitions from the
+    committed regress-gate PPO breakout model (run_get_seed_state-style
+    rollouts, reference gail/run_mujoco.py sample_trajectory)."""
+    from toybox_tpu.envs.pipeline import make_rl_env
+    from toybox_tpu.rl.gail import generate_expert_dataset
+
+    env = make_rl_env("breakout", 4)
+    obs, acts = generate_expert_dataset(
+        env, load_path="models/Breakout.regress.model",
+        n_transitions=32, network="cnn")
+    assert obs.shape == (32, 84, 84, 4)
+    assert acts.shape == (32,)
+    assert acts.min() >= 0 and acts.max() < env.num_actions

@@ -1,12 +1,21 @@
 """GAIL — generative adversarial imitation learning.
 
 Semantics from the reference's baselines/gail: a discriminator D(s, a)
-trained to separate expert from policy transitions; the policy maximizes
-the surrogate reward -log(1 - D) (equivalently here: the discriminator's
-logit on policy data). The reference trains the generator with TRPO; this
-implementation uses the PPO machinery for the generator update (clipped
-surrogate on the adversarial reward) — same objective, simpler trust
-region; set ``use_trpo_notes`` in defaults docs.
+(gail/adversary.py TransitionClassifier) is trained to separate expert
+from policy transitions, and the policy maximizes the surrogate reward
+-log(1 - D). The full reference pipeline ships here:
+
+- ``generate_expert_dataset`` — roll out a trained (e.g. the committed
+  regress-gate PPO) model and record (obs, action) transitions, the
+  run_mujoco --task=sample_trajectory / dataset/mujoco_dset.py analog,
+  with npz save/load;
+- ``behavior_clone`` — supervised warm-start of the policy on the expert
+  data (gail/behavior_clone.py);
+- ``make_gail_trpo`` — the reference generator: TRPO trust-region steps
+  (shared with rl/trpo.py) on the discriminator reward
+  (gail/trpo_mpi.py);
+- ``make_gail`` — a PPO-generator variant (clipped surrogate on the
+  adversarial reward) for cheaper updates.
 """
 
 from __future__ import annotations
@@ -17,6 +26,7 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -178,3 +188,323 @@ def make_gail(env_fns, expert_obs, expert_actions, *, network="mlp",
                          update=state.update + 1), metrics
 
     return init_fn, train_step
+
+
+# ---------------------------------------------------------------------------
+# Expert-trajectory pipeline (reference gail/dataset/mujoco_dset.py +
+# run_mujoco --task=sample_trajectory)
+# ---------------------------------------------------------------------------
+
+def generate_expert_dataset(env_fns, *, load_path=None, params=None,
+                            n_transitions=4096, network="cnn", seed=0,
+                            stochastic=True, network_kwargs=None):
+    """Roll out a trained policy on a batched env and record (obs, action)
+    transitions. Pass either ``params`` or ``load_path`` (a file written by
+    rl.ppo.save_params, e.g. the committed regress-gate models)."""
+    from toybox_tpu.rl.ppo import load_params
+
+    module, p_init, p_step, _ = build_policy(
+        env_fns.obs_shape, env_fns.num_actions, network,
+        **(network_kwargs or {}))
+    if params is None:
+        assert load_path is not None, "need params or load_path"
+        params = load_params(load_path, p_init(jax.random.PRNGKey(0)))
+
+    num_envs = env_fns.num_envs
+    nsteps = -(-n_transitions // num_envs)  # ceil
+
+    def rollout(env_state, key):
+        def body(carry, _):
+            env_state, key = carry
+            obs = env_state.frames
+            key, akey = jax.random.split(key)
+            if stochastic:
+                actions, _, _, _ = p_step(params, obs, akey)
+            else:
+                logits, _ = module.apply(params, obs)
+                actions = jnp.argmax(logits, axis=-1)
+            env_state, _, _, _, _ = env_fns.step(env_state, actions)
+            return (env_state, key), (obs, actions)
+
+        (_, _), (obs, actions) = jax.lax.scan(body, (env_state, key),
+                                              None, length=nsteps)
+        return obs, actions
+
+    key = jax.random.PRNGKey(seed)
+    key, ekey = jax.random.split(key)
+    seeds = (jax.random.randint(ekey, (num_envs,), 0, 2**31 - 1)
+             .astype(jnp.uint32))
+    env_state, _ = env_fns.reset(seeds)
+    obs, actions = jax.jit(rollout)(env_state, key)
+    obs = np.asarray(obs).reshape((-1,) + tuple(env_fns.obs_shape))
+    actions = np.asarray(actions).reshape(-1)
+    return obs[:n_transitions], actions[:n_transitions]
+
+
+def save_expert_dataset(path, obs, actions):
+    """npz format matching the reference's expert-data files (obs/acs)."""
+    np.savez_compressed(path, obs=np.asarray(obs), acs=np.asarray(actions))
+
+
+def load_expert_dataset(path):
+    d = np.load(path)
+    return d["obs"], d["acs"]
+
+
+# ---------------------------------------------------------------------------
+# Behavior cloning (reference gail/behavior_clone.py)
+# ---------------------------------------------------------------------------
+
+def behavior_clone(env_fns, expert_obs, expert_actions, *, network="mlp",
+                   epochs=50, batch_size=128, lr=3e-4, seed=0,
+                   network_kwargs=None):
+    """Supervised pretraining: minimize neglogp of expert actions.
+    Returns policy params usable to warm-start make_gail*/ppo."""
+    module, p_init, _, _ = build_policy(
+        env_fns.obs_shape, env_fns.num_actions, network,
+        **(network_kwargs or {}))
+    nact = env_fns.num_actions
+    expert_obs = jnp.asarray(expert_obs)
+    expert_actions = jnp.asarray(expert_actions)
+    n = expert_obs.shape[0]
+    bs = min(batch_size, n)
+    tx = optax.adam(lr)
+
+    def loss_fn(params, o, a):
+        logits, _ = module.apply(params, o)
+        pd = pd_from_logits(nact, logits)
+        return jnp.mean(pd.neglogp(a))
+
+    @jax.jit
+    def train(params, opt_state, key):
+        def epoch(carry, ekey):
+            params, opt_state = carry
+            idx = jax.random.randint(ekey, (bs,), 0, n)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, expert_obs[idx], expert_actions[idx])
+            upd, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, upd)
+            return (params, opt_state), loss
+
+        keys = jax.random.split(key, epochs)
+        (params, opt_state), losses = jax.lax.scan(
+            epoch, (params, opt_state), keys)
+        return params, opt_state, losses
+
+    key = jax.random.PRNGKey(seed)
+    key, pkey = jax.random.split(key)
+    params = p_init(pkey)
+    params, _, losses = train(params, tx.init(params), key)
+    return params, float(losses[-1])
+
+
+# ---------------------------------------------------------------------------
+# TRPO-generator GAIL (the reference gail/trpo_mpi.py shape)
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class GAILTRPOState:
+    pi_params: Any
+    vf_params: Any
+    vf_opt: Any
+    disc_params: Any
+    disc_opt: Any
+    env_state: Any
+    key: jnp.ndarray
+    update: jnp.ndarray
+
+
+def make_gail_trpo(env_fns, expert_obs, expert_actions, *, network="mlp",
+                   nsteps=32, gamma=0.99, lam=0.97, max_kl=0.01,
+                   cg_iters=10, cg_damping=0.1, vf_stepsize=3e-4,
+                   vf_iters=3, ent_coef=0.0, disc_lr=1e-3, disc_steps=2,
+                   reward_scale=1.0, pretrain_params=None,
+                   network_kwargs=None):
+    """GAIL with the reference's TRPO generator: discriminator reward
+    -log(1 - D(s, a)) drives KL-constrained natural-gradient steps
+    (trust_region_update shared with rl/trpo.py). ``reward_scale=0``
+    ablates the adversarial reward (for tests that must fail without it).
+    ``pretrain_params`` warm-starts the policy (behavior_clone output)."""
+    from toybox_tpu.rl.trpo import trust_region_update
+
+    num_envs = env_fns.num_envs
+    nact = env_fns.num_actions
+    nbatch = num_envs * nsteps
+
+    pi_mod, pi_init, pi_step, _ = build_policy(
+        env_fns.obs_shape, nact, network, **(network_kwargs or {}))
+    vf_mod, vf_init, _, vf_value = build_policy(
+        env_fns.obs_shape, nact, network, **(network_kwargs or {}))
+    disc = Discriminator()
+    vf_tx = optax.adam(vf_stepsize)
+    disc_tx = optax.adam(disc_lr)
+
+    expert_obs = jnp.asarray(expert_obs)
+    expert_onehot = jax.nn.one_hot(jnp.asarray(expert_actions), nact,
+                                   dtype=F32)
+
+    def init_fn(seed=0):
+        key = jax.random.PRNGKey(seed)
+        key, k1, k2, k3, ekey = jax.random.split(key, 5)
+        pi_params = pretrain_params if pretrain_params is not None \
+            else pi_init(k1)
+        vf_params = vf_init(k2)
+        dummy_o = jnp.zeros((1,) + tuple(env_fns.obs_shape), F32)
+        disc_params = disc.init(k3, dummy_o, jnp.zeros((1, nact), F32))
+        seeds = (jax.random.randint(ekey, (num_envs,), 0, 2**31 - 1)
+                 .astype(jnp.uint32))
+        env_state, _ = env_fns.reset(seeds)
+        st = GAILTRPOState(pi_params=pi_params, vf_params=vf_params,
+                           vf_opt=vf_tx.init(vf_params),
+                           disc_params=disc_params,
+                           disc_opt=disc_tx.init(disc_params),
+                           env_state=env_state, key=key,
+                           update=jnp.asarray(0, jnp.int32))
+        return jax.tree_util.tree_map(jnp.array, st)
+
+    def train_step(state: GAILTRPOState):
+        # --- rollout (true env rewards discarded; D provides them) -------
+        def body(carry, _):
+            env_state, key = carry
+            obs = env_state.frames
+            key, akey = jax.random.split(key)
+            actions, _, neglogps, _ = pi_step(state.pi_params, obs, akey)
+            values = vf_value(state.vf_params, obs)
+            env_state, _, true_r, dones, _ = env_fns.step(env_state,
+                                                          actions)
+            return (env_state, key), (obs, actions, values, neglogps,
+                                      dones, true_r)
+
+        (env_state, key), traj = jax.lax.scan(
+            body, (state.env_state, state.key), None, length=nsteps)
+        obs, actions, values, neglogps, dones, true_r = traj
+
+        def fl(x):
+            return x.reshape((nbatch,) + x.shape[2:])
+
+        fobs, facts = fl(obs), fl(actions)
+        pol_onehot = jax.nn.one_hot(facts, nact, dtype=F32)
+
+        # --- discriminator update (adversary.py loss) ---------------------
+        def disc_loss_fn(params, ekey):
+            idx = jax.random.randint(ekey, (nbatch,), 0,
+                                     expert_obs.shape[0])
+            e_logit = disc.apply(params, expert_obs[idx],
+                                 expert_onehot[idx])
+            p_logit = disc.apply(params, fobs, pol_onehot)
+            loss = (optax.sigmoid_binary_cross_entropy(
+                        e_logit, jnp.ones_like(e_logit)).mean()
+                    + optax.sigmoid_binary_cross_entropy(
+                        p_logit, jnp.zeros_like(p_logit)).mean())
+            acc = 0.5 * (jnp.mean(e_logit > 0) + jnp.mean(p_logit < 0))
+            return loss, acc
+
+        disc_params, disc_opt = state.disc_params, state.disc_opt
+        dloss = dacc = jnp.asarray(0.0)
+        for _ in range(disc_steps):
+            key, dkey = jax.random.split(key)
+            (dloss, dacc), dgrads = jax.value_and_grad(
+                disc_loss_fn, has_aux=True)(disc_params, dkey)
+            dupd, disc_opt = disc_tx.update(dgrads, disc_opt, disc_params)
+            disc_params = optax.apply_updates(disc_params, dupd)
+
+        # --- adversarial reward + GAE -------------------------------------
+        logit_flat = disc.apply(disc_params, fobs, pol_onehot)
+        adv_reward = reward_scale * jax.nn.softplus(logit_flat)
+        rewards = adv_reward.reshape(nsteps, num_envs)
+        last_value = vf_value(state.vf_params, env_state.frames)
+
+        def gae_body(carry, t):
+            v, r, d = t
+            next_adv, next_v = carry
+            nonterm = 1.0 - d.astype(F32)
+            delta = r + gamma * next_v * nonterm - v
+            adv = delta + gamma * lam * nonterm * next_adv
+            return (adv, v), adv
+
+        (_, _), advs = jax.lax.scan(
+            gae_body, (jnp.zeros_like(last_value), last_value),
+            (values, rewards, dones), reverse=True)
+        returns = advs + values
+        fadv = fl(advs)
+        fadv = (fadv - fadv.mean()) / (fadv.std() + 1e-8)
+        fret, fnlp = fl(returns), fl(neglogps)
+
+        # --- TRPO generator step ------------------------------------------
+        pi_params, tr_metrics = trust_region_update(
+            pi_mod, nact, state.pi_params, fobs, facts, fadv, fnlp,
+            max_kl=max_kl, cg_iters=cg_iters, cg_damping=cg_damping,
+            ent_coef=ent_coef)
+
+        # --- value-function fit -------------------------------------------
+        def vf_loss_fn(params):
+            v = vf_value(params, fobs)
+            return jnp.mean(jnp.square(v - fret))
+
+        def vf_iter(carry, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(vf_loss_fn)(params)
+            upd, opt_state = vf_tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, upd)
+            return (params, opt_state), loss
+
+        (vf_params, vf_opt), vf_losses = jax.lax.scan(
+            vf_iter, (state.vf_params, state.vf_opt), None,
+            length=vf_iters)
+
+        metrics = dict(disc_loss=dloss, disc_acc=dacc,
+                       adv_reward=jnp.mean(adv_reward),
+                       true_reward=jnp.mean(true_r),
+                       vf_loss=vf_losses[-1], **tr_metrics)
+        return GAILTRPOState(pi_params=pi_params, vf_params=vf_params,
+                             vf_opt=vf_opt, disc_params=disc_params,
+                             disc_opt=disc_opt, env_state=env_state,
+                             key=key, update=state.update + 1), metrics
+
+    return init_fn, train_step
+
+
+def learn(*, env=None, game="breakout", num_envs=8, expert_path=None,
+          expert_model=None, n_expert_transitions=4096,
+          total_updates=100, seed=0, network="cnn_small", nsteps=32,
+          bc_epochs=0, generator="trpo", log_interval=10, logger=None,
+          network_kwargs=None, **extra):
+    """Full reference pipeline: load/extract expert data, optional BC
+    warm start, adversarial imitation."""
+    from toybox_tpu.envs.pipeline import make_rl_env
+
+    env_fns = env if env is not None else make_rl_env(game, num_envs)
+    if expert_path is not None:
+        expert_obs, expert_actions = load_expert_dataset(expert_path)
+    else:
+        assert expert_model is not None, "need expert_path or expert_model"
+        expert_obs, expert_actions = generate_expert_dataset(
+            env_fns, load_path=expert_model,
+            n_transitions=n_expert_transitions, network="cnn", seed=seed)
+
+    pretrain = None
+    if bc_epochs:
+        pretrain, bc_loss = behavior_clone(
+            env_fns, expert_obs, expert_actions, network=network,
+            epochs=bc_epochs, seed=seed, network_kwargs=network_kwargs)
+        if logger is not None:
+            logger.logkv("bc_final_loss", bc_loss)
+
+    maker = make_gail_trpo if generator == "trpo" else make_gail
+    kwargs = dict(network=network, nsteps=nsteps,
+                  network_kwargs=network_kwargs)
+    if generator == "trpo":
+        kwargs["pretrain_params"] = pretrain
+    init_fn, step = maker(env_fns, expert_obs, expert_actions, **kwargs)
+    state = init_fn(seed)
+    if pretrain is not None and generator != "trpo":
+        state = state.replace(pi_params=pretrain)
+    step_jit = jax.jit(step, donate_argnums=(0,))
+    for i in range(1, total_updates + 1):
+        state, metrics = step_jit(state)
+        if logger is not None and i % log_interval == 0:
+            for k, v in jax.device_get(metrics).items():
+                logger.logkv(k, float(v))
+            logger.dumpkvs()
+    jax.block_until_ready(state.pi_params)
+    return state

@@ -28,6 +28,92 @@ from toybox_tpu.rl.ppo import load_params, save_params
 F32 = jnp.float32
 
 
+def trust_region_update(pi_mod, num_actions, pi_params, fobs, facts, fadv,
+                        fnlp_old, *, max_kl=0.001, cg_iters=10,
+                        cg_damping=0.1, ent_coef=0.0, line_search_steps=10):
+    """One KL-constrained natural-gradient policy step (the core of
+    trpo_mpi.py): surrogate gain, Fisher-vector products via the Hessian
+    of the mean KL, conjugate gradient, and backtracking line search.
+
+    Reused by both TRPO (environment reward) and GAIL (discriminator
+    reward, reference gail/trpo_mpi.py); returns (new_params, metrics).
+    """
+
+    def _pd(params, obs):
+        logits, _ = pi_mod.apply(params, obs)
+        return pd_from_logits(num_actions, logits), logits
+
+    _, old_logits = _pd(pi_params, fobs)
+    old_logits = jax.lax.stop_gradient(old_logits)
+
+    flat0, unravel = ravel_pytree(pi_params)
+
+    def surrogate(flat):
+        pd, _ = _pd(unravel(flat), fobs)
+        ratio = jnp.exp(fnlp_old - pd.neglogp(facts))
+        return jnp.mean(ratio * fadv) + ent_coef * jnp.mean(pd.entropy())
+
+    def mean_kl(flat):
+        pd, _ = _pd(unravel(flat), fobs)
+        old = pd_from_logits(num_actions, old_logits)
+        return jnp.mean(old.kl(pd))
+
+    g = jax.grad(surrogate)(flat0)
+
+    # Fisher-vector product: Hessian of mean KL at flat0, via
+    # grad-of-(grad . v) (the reference's fvp construction)
+    kl_grad_fn = jax.grad(mean_kl)
+
+    def fvp(v):
+        gdot = lambda f: jnp.vdot(kl_grad_fn(f), v)
+        return jax.grad(gdot)(flat0) + cg_damping * v
+
+    def cg(b):
+        x = jnp.zeros_like(b)
+        r = b
+        p = b
+        rdr = jnp.vdot(r, r)
+
+        def cg_iter(carry, _):
+            x, r, p, rdr = carry
+            Ap = fvp(p)
+            alpha = rdr / (jnp.vdot(p, Ap) + 1e-10)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            new_rdr = jnp.vdot(r, r)
+            p = r + (new_rdr / (rdr + 1e-10)) * p
+            return (x, r, p, new_rdr), None
+
+        (x, _, _, _), _ = jax.lax.scan(cg_iter, (x, r, p, rdr), None,
+                                       length=cg_iters)
+        return x
+
+    stepdir = cg(g)
+    shs = 0.5 * jnp.vdot(stepdir, fvp(stepdir))
+    lm = jnp.sqrt(jnp.maximum(shs / max_kl, 1e-10))
+    fullstep = stepdir / lm
+    expected_improve = jnp.vdot(g, fullstep)
+    gain0 = surrogate(flat0)
+
+    def ls_body(carry, i):
+        best_flat, accepted = carry
+        stepfrac = 0.5 ** i.astype(F32)
+        cand = flat0 + stepfrac * fullstep
+        gain = surrogate(cand)
+        kl = mean_kl(cand)
+        ok = ((gain - gain0 > 0.1 * stepfrac * expected_improve)
+              & (kl <= max_kl * 1.5) & ~accepted)
+        best_flat = jnp.where(ok, cand, best_flat)
+        return (best_flat, accepted | ok), ok
+
+    (new_flat, accepted), _ = jax.lax.scan(
+        ls_body, (flat0, jnp.asarray(False)),
+        jnp.arange(line_search_steps))
+    metrics = dict(surrogate_gain=surrogate(new_flat) - gain0,
+                   kl=mean_kl(new_flat), accepted=accepted.astype(F32))
+    return unravel(new_flat), metrics
+
+
 @struct.dataclass
 class TRPOState:
     pi_params: Any
@@ -113,77 +199,12 @@ def make_trpo(env_fns, *, network="cnn_small", nsteps=512, gamma=0.99,
         fnlp_old = fl(old_neglogps)
         fret = fl(returns)
 
-        old_pd, old_logits = _pd(state.pi_params, fobs)
-        old_logits = jax.lax.stop_gradient(old_logits)
-
-        # --- surrogate gain + policy gradient -----------------------------
-        flat0, unravel = ravel_pytree(state.pi_params)
-
-        def surrogate(flat):
-            pd, _ = _pd(unravel(flat), fobs)
-            ratio = jnp.exp(fnlp_old - pd.neglogp(facts))
-            gain = jnp.mean(ratio * fadv) + ent_coef * jnp.mean(pd.entropy())
-            return gain
-
-        def mean_kl(flat):
-            pd, _ = _pd(unravel(flat), fobs)
-            old = pd_from_logits(env_fns.num_actions, old_logits)
-            return jnp.mean(old.kl(pd))
-
-        g = jax.grad(surrogate)(flat0)
-
-        # Fisher-vector product: Hessian of mean KL at flat0, via
-        # grad-of-(grad . v) (the reference's fvp construction)
-        kl_grad_fn = jax.grad(mean_kl)
-
-        def fvp(v):
-            gdot = lambda f: jnp.vdot(kl_grad_fn(f), v)
-            return jax.grad(gdot)(flat0) + cg_damping * v
-
-        # --- conjugate gradient ------------------------------------------
-        def cg(b):
-            x = jnp.zeros_like(b)
-            r = b
-            p = b
-            rdr = jnp.vdot(r, r)
-
-            def cg_iter(carry, _):
-                x, r, p, rdr = carry
-                Ap = fvp(p)
-                alpha = rdr / (jnp.vdot(p, Ap) + 1e-10)
-                x = x + alpha * p
-                r = r - alpha * Ap
-                new_rdr = jnp.vdot(r, r)
-                p = r + (new_rdr / (rdr + 1e-10)) * p
-                return (x, r, p, new_rdr), None
-
-            (x, _, _, _), _ = jax.lax.scan(cg_iter, (x, r, p, rdr), None,
-                                           length=cg_iters)
-            return x
-
-        stepdir = cg(g)
-        shs = 0.5 * jnp.vdot(stepdir, fvp(stepdir))
-        lm = jnp.sqrt(jnp.maximum(shs / max_kl, 1e-10))
-        fullstep = stepdir / lm
-        expected_improve = jnp.vdot(g, fullstep)
-        gain0 = surrogate(flat0)
-
-        # --- backtracking line search ------------------------------------
-        def ls_body(carry, i):
-            best_flat, accepted = carry
-            stepfrac = 0.5 ** i.astype(F32)
-            cand = flat0 + stepfrac * fullstep
-            gain = surrogate(cand)
-            kl = mean_kl(cand)
-            ok = ((gain - gain0 > 0.1 * stepfrac * expected_improve)
-                  & (kl <= max_kl * 1.5) & ~accepted)
-            best_flat = jnp.where(ok, cand, best_flat)
-            return (best_flat, accepted | ok), ok
-
-        (new_flat, accepted), _ = jax.lax.scan(
-            ls_body, (flat0, jnp.asarray(False)),
-            jnp.arange(line_search_steps))
-        pi_params = unravel(new_flat)
+        pi_params, tr_metrics = trust_region_update(
+            pi_mod, env_fns.num_actions, state.pi_params,
+            fobs, facts, fadv, fnlp_old,
+            max_kl=max_kl, cg_iters=cg_iters, cg_damping=cg_damping,
+            ent_coef=ent_coef, line_search_steps=line_search_steps)
+        accepted = tr_metrics["accepted"]
 
         # --- value function fit ------------------------------------------
         def vf_loss_fn(params):
@@ -205,9 +226,9 @@ def make_trpo(env_fns, *, network="cnn_small", nsteps=512, gamma=0.99,
         done_eps = ~jnp.isnan(ep_ret)
         n_eps = jnp.sum(done_eps.astype(F32))
         metrics = {
-            "surrogate_gain": surrogate(new_flat) - gain0,
-            "kl": mean_kl(new_flat),
-            "accepted": accepted.astype(F32),
+            "surrogate_gain": tr_metrics["surrogate_gain"],
+            "kl": tr_metrics["kl"],
+            "accepted": accepted,
             "vf_loss": vf_losses[-1],
             "entropy": jnp.mean(new_pd.entropy()),
             "eprewmean": jnp.where(
