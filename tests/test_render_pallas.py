@@ -55,3 +55,62 @@ def test_pipeline_pallas_interpret_matches_xla():
     np.testing.assert_array_equal(np.asarray(rx), np.asarray(rp))
     np.testing.assert_allclose(np.asarray(ox).astype(int),
                                np.asarray(op).astype(int), atol=1)
+
+
+def _rollout_states(game, n, steps, action=3, seed0=0):
+    """Batch of states advanced `steps` frames (sprites off spawn)."""
+    import toybox_tpu.games as games
+    mod = games.get_game(game)
+    cfg = mod.default_config()
+    states = jax.vmap(lambda s: mod.new_game(cfg, seed=s))(
+        jnp.arange(seed0, seed0 + n, dtype=jnp.uint32))
+    from toybox_tpu.core.actions import ale_to_input
+    step = jax.jit(jax.vmap(mod.step, in_axes=(None, 0, 0)))
+    acts = ale_to_input(jnp.full(n, action, jnp.int32))
+    for _ in range(steps):
+        states = step(cfg, states, acts)
+    return mod, cfg, states
+
+
+def test_amidar_pallas_render_matches_xla():
+    from toybox_tpu.ops.render_pallas import make_amidar_gray_renderer
+
+    mod, cfg, states = _rollout_states("amidar", 4, 180, action=4)
+    f_pl = np.asarray(make_amidar_gray_renderer(cfg, interpret=True)(states))
+    f_xla = np.asarray(
+        jax.vmap(lambda s: luma2d(mod.render(cfg, s)))(states))
+    diff = np.abs(f_pl.astype(int) - f_xla.astype(int))
+    assert diff.max() <= 1, f"amidar pallas mismatch: max {diff.max()}"
+
+
+def test_si_pallas_render_matches_xla():
+    from toybox_tpu.ops.render_pallas import make_si_gray_renderer
+
+    # 300 steps of FIRE+RIGHT: lasers fly, shields erode, enemies march
+    mod, cfg, states = _rollout_states("space_invaders", 4, 300, action=11)
+    f_pl = np.asarray(make_si_gray_renderer(cfg, interpret=True)(states))
+    f_xla = np.asarray(
+        jax.vmap(lambda s: luma2d(mod.render(cfg, s)))(states))
+    diff = np.abs(f_pl.astype(int) - f_xla.astype(int))
+    assert diff.max() <= 1, f"si pallas mismatch: max {diff.max()}"
+
+
+def test_amidar_si_pipeline_pallas_interpret_matches_xla():
+    from toybox_tpu.envs.pipeline import make_rl_env
+
+    for game in ("amidar", "space_invaders"):
+        n = 2
+        seeds = jnp.arange(n, dtype=jnp.uint32)
+        acts = jnp.ones(n, jnp.int32)
+        env_x = make_rl_env(game, n, use_pallas=False)
+        env_p = make_rl_env(game, n, use_pallas=True)
+        sx, ox = env_x.reset(seeds)
+        sp, op = env_p.reset(seeds)
+        np.testing.assert_allclose(np.asarray(ox).astype(int),
+                                   np.asarray(op).astype(int), atol=1)
+        for _ in range(3):
+            sx, ox, rx, dx, _ = env_x.step(sx, acts)
+            sp, op, rp, dp, _ = env_p.step(sp, acts)
+        np.testing.assert_array_equal(np.asarray(rx), np.asarray(rp))
+        np.testing.assert_allclose(np.asarray(ox).astype(int),
+                                   np.asarray(op).astype(int), atol=1)

@@ -67,16 +67,22 @@ def make_rl_env(game_name: str, num_envs: int, config=None, skip: int = 4,
     cfg = config if config is not None else module.default_config()
 
     on_tpu = jax.default_backend() == "tpu"
+    pallas_games = ("breakout", "amidar", "space_invaders")
     if use_pallas == "auto":
-        use_pallas = on_tpu and game_name == "breakout"
+        use_pallas = on_tpu and game_name in pallas_games
     if use_pallas:
-        from toybox_tpu.ops.render_pallas import (
-            make_breakout_gray_renderer, warp_matmul)
-        assert game_name == "breakout", "pallas renderer: breakout only"
-        render_gray = make_breakout_gray_renderer(cfg, interpret=not on_tpu)
+        from toybox_tpu.ops import render_pallas as rp
+        assert game_name in pallas_games, \
+            f"pallas renderer: {pallas_games} only"
+        factory = {
+            "breakout": rp.make_breakout_gray_renderer,
+            "amidar": rp.make_amidar_gray_renderer,
+            "space_invaders": rp.make_si_gray_renderer,
+        }[game_name]
+        render_gray = factory(cfg, interpret=not on_tpu)
 
         def warp(frames):
-            return warp_matmul(frames, frame_size)
+            return rp.warp_matmul(frames, frame_size)
     else:
         def render_gray(game):
             return jax.vmap(lambda s: luma2d(module.render(cfg, s)))(game)

@@ -214,3 +214,355 @@ def make_breakout_gray_renderer(config, interpret=False):
         )(data, base, jnp.asarray(_COL_EXPAND))
 
     return render
+
+
+# ---------------------------------------------------------------------------
+# Amidar single-pass grayscale render kernel
+# ---------------------------------------------------------------------------
+
+# geometry constants (games/amidar.py)
+_AM_H, _AM_W = 250, 160
+_AM_BH, _AM_BW = 31, 32          # board tiles
+_AM_TPH, _AM_TPW = 5, 4          # tile pixels
+_AM_X0, _AM_Y0 = 16, 45          # board origin
+
+# lane-axis column upsample: out[:, 4c+k] = in[:, c]
+_AM_EXPAND = np.zeros((_AM_BW, _AM_BW * _AM_TPW), np.float32)
+for _c in range(_AM_BW):
+    _AM_EXPAND[_c, _c * _AM_TPW:(_c + 1) * _AM_TPW] = 1.0
+
+
+def _make_amidar_kernel(lum):
+    """Close over the (config-static) lumas. data_ref f32[1, 50, 32]:
+    rows 0..30 = tile CODE grid (0 bg / 1 inner-painted / 2 painted /
+    3 unpainted); row 32 = sprite y (8 enemies + player at lane 8);
+    row 33 = show (+/-1); rows 34..42 col 0 = sprite x (as a column,
+    for the col-mask matrix).
+
+    TPU cost model applied here:
+    - the column upsample rides the MXU on tile CODES in bf16 (exact for
+      0..3) — one MXU pass instead of the f32 three-pass on lumas; the
+      code -> luma decode is 3 selects on the small [155,128] band;
+    - sprites are ONE outer-product matmul instead of nine full-image
+      rect passes: V = R @ C with the player's weight 1024 so it wins
+      overlaps (drawn last in the XLA render). bf16 is exact: 0/1 masks,
+      weights 1/1024, and every sum that meets a threshold is
+      representable;
+    - no final clip: every composed value is already a luma in [0, 255]."""
+    BF16 = jnp.bfloat16
+    bg_l, inner_l, painted_l, unpainted_l, player_l, enemy_l = lum
+
+    def kernel(data_ref, expand_ref, out_ref):
+        codes = data_ref[0, :_AM_BH, :]                  # [31, 32] f32
+        band = jnp.repeat(codes, _AM_TPH, axis=0)        # [155, 32]
+        c = jnp.dot(band.astype(BF16), expand_ref[:],
+                    preferred_element_type=F32)          # [155, 128]
+        band_l = jnp.where(
+            c < 0.5, bg_l,
+            jnp.where(c < 1.5, inner_l,
+                      jnp.where(c < 2.5, painted_l, unpainted_l)))
+        img = jnp.pad(
+            band_l,
+            ((_AM_Y0, _AM_H - _AM_Y0 - _AM_BH * _AM_TPH),
+             (_AM_X0, _AM_W - _AM_X0 - _AM_BW * _AM_TPW)),
+            constant_values=bg_l)                        # [250, 160]
+
+        ys16 = jax.lax.broadcasted_iota(
+            jnp.int32, (_AM_H, 16), 0).astype(F32)
+        sy_row = data_ref[0, 32:33, :16]
+        show_row = data_ref[0, 33:34, :16]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 16), 1)
+        wgt = jnp.where(lane == 8, 1024.0, jnp.where(lane < 8, 1.0, 0.0))
+        R = (((ys16 >= sy_row) & (ys16 < sy_row + _AM_TPH)
+              & (show_row > 0.0)).astype(F32) * wgt)     # [250, 16]
+
+        xs16 = jax.lax.broadcasted_iota(
+            jnp.int32, (16, _AM_W), 1).astype(F32)
+        sx_col = data_ref[0, 34:50, 0:1]                 # [16, 1]
+        C = ((xs16 >= sx_col)
+             & (xs16 < sx_col + _AM_TPW)).astype(BF16)   # [16, 160]
+
+        V = jnp.dot(R.astype(BF16), C,
+                    preferred_element_type=F32)          # [250, 160]
+        img = jnp.where(V >= 0.5,
+                        jnp.where(V >= 1024.0, player_l, enemy_l),
+                        img)
+
+        out_ref[0] = img.astype(jnp.int32).astype(U8)
+
+    return kernel
+
+
+def make_amidar_gray_renderer(config, interpret=False):
+    """fn(states) -> u8[N, 250, 160] — pixel-parity with
+    luma2d(amidar.render) (games/amidar.py render: tile grid upsample +
+    sprite rects), composed in one VMEM pass."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    import toybox_tpu.games.amidar as am
+
+    def _luma_rgba(c):
+        r, g, b = (float(v) for v in np.asarray(c)[:3])
+        return 0.299 * r + 0.587 * g + 0.114 * b
+
+    lum = {k: _luma_rgba(getattr(config, k))
+           for k in ("bg_color", "unpainted_color", "painted_color",
+                     "inner_painted_color", "player_color", "enemy_color")}
+    inner_masks = jnp.asarray(config.inner_masks)
+    kernel = _make_amidar_kernel(
+        (lum["bg_color"], lum["inner_painted_color"], lum["painted_color"],
+         lum["unpainted_color"], lum["player_color"], lum["enemy_color"]))
+
+    def render(states):
+        n = states.score.shape[0]
+        inner = jnp.einsum(
+            "eb,bt->et", states.box_painted.astype(F32), inner_masks,
+            preferred_element_type=F32,
+            precision=jax.lax.Precision.HIGHEST) > 0.5     # [E, 992]
+        t = states.tiles
+        code = jnp.where(
+            t == am.EMPTY, jnp.where(inner, 1.0, 0.0),
+            jnp.where(t == am.PAINTED, 2.0, 3.0)).astype(F32)
+        grid = code.reshape(n, _AM_BH, _AM_BW)
+
+        def spx(wx):
+            return (_AM_X0 + wx // am.WORLD_PER_PIXEL).astype(F32)
+
+        def spy(wy):
+            return (_AM_Y0 + wy // am.WORLD_PER_PIXEL).astype(F32)
+
+        # sprite table: 8 enemies + player at index 8
+        sprite_x = jnp.concatenate(
+            [spx(states.enemy_x), spx(states.player_x)[:, None]], axis=1)
+        sprite_y = jnp.concatenate(
+            [spy(states.enemy_y), spy(states.player_y)[:, None]], axis=1)
+        show = jnp.concatenate(
+            [states.enemy_exists.astype(F32) * 2.0 - 1.0,
+             jnp.ones((n, 1), F32)], axis=1)              # [E, 9]
+
+        data = jnp.zeros((n, 50, _AM_BW), F32)
+        data = data.at[:, :_AM_BH, :].set(grid)
+        data = data.at[:, 32, :9].set(sprite_y)
+        data = data.at[:, 33, :9].set(show)
+        data = data.at[:, 34:43, 0].set(sprite_x)
+
+        return pl.pallas_call(
+            kernel,
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec((1, 50, _AM_BW), lambda e: (e, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_AM_BW, _AM_BW * _AM_TPW), lambda e: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, _AM_H, _AM_W), lambda e: (e, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, _AM_H, _AM_W), U8),
+            interpret=interpret,
+        )(data, jnp.asarray(_AM_EXPAND, jnp.bfloat16))
+
+    return render
+
+
+# ---------------------------------------------------------------------------
+# Space Invaders single-pass grayscale render kernel
+# ---------------------------------------------------------------------------
+
+_SI_H, _SI_W = 210, 320
+_SI_ROWS = _SI_COLS = 6
+_SI_DX, _SI_DY = 32, 18          # formation cell
+_SI_EW, _SI_EH = 16, 10          # enemy sprite
+_SI_BAND_H = _SI_ROWS * _SI_DY   # 108
+_SI_BAND_W = _SI_COLS * _SI_DX   # 192
+SHIELD_ROWS, _SHIELD_W = 18, 16  # games/space_invaders.py SHIELD_H/W
+
+
+def _make_si_kernel(shield_xs, shield_y, lum):
+    """Close over the config-static shield placement and lumas.
+
+    data_ref f32[1, 64, 48]:
+    rows 0..17, cols 0..47 = shield alpha (3 shields side by side);
+    rows 40..45, cols 0..5 = formation show grid;
+    row 32 lanes 0,1 = formation anchor (ax, ay);
+    row 33 lanes 6..12 = sprite y (ufo, ship, ship laser, 4 enemy lasers);
+    row 34 lanes 6..12 = sprite show (+/-1);
+    rows 54..60 col 0 = sprite x.
+
+    TPU cost model applied here:
+    - the formation AND the ufo/ship/laser sprites are composed by ONE
+      outer-product matmul V = Rall @ Call ([210,16]@[16,320]): lanes
+      0..5 carry the formation's separable row/col interval maps (show-
+      weighted via a tiny [210,6]@[6,6] matmul), lanes 6..12 the seven
+      sprites with draw-order priority weights (formation 1 < ufo 8 <
+      ship 64 < lasers 512, matching the XLA render order). bf16 inputs
+      are exact (0/1 masks x power-of-two weights) — one MXU pass;
+    - shields are placed with static pads (free), no placement matmul;
+    - decode needs no modular arithmetic: thresholds are checked in
+      priority order, so lower bits only matter when higher bits are 0;
+    - no final clip: every composed value is already a luma in [0,255]."""
+    BF16 = jnp.bfloat16
+    enemy_l, shield_l, ufo_l, ship_l, laser_l = lum
+
+    def kernel(data_ref, out_ref):
+        scal = data_ref[0, 32, :]
+
+        # --- formation row/col interval maps (lanes 0..5) --------------
+        # cover[y,x] = sum_{r,c} rowm[y,r] * show[r,c] * colm[c,x]
+        # (formation cells never overlap, so cover is 0/1)
+        ax = scal[0]
+        ay = scal[1]
+        yr = jax.lax.broadcasted_iota(
+            jnp.int32, (_SI_H, _SI_COLS), 0).astype(F32)
+        rr6 = jax.lax.broadcasted_iota(
+            jnp.int32, (_SI_H, _SI_COLS), 1).astype(F32)
+        rel_y = yr - ay - rr6 * _SI_DY
+        rowm = ((rel_y >= 0.0) & (rel_y < _SI_EH)).astype(BF16)  # [210, 6]
+        xc = jax.lax.broadcasted_iota(
+            jnp.int32, (_SI_COLS, _SI_W), 1).astype(F32)
+        cc6 = jax.lax.broadcasted_iota(
+            jnp.int32, (_SI_COLS, _SI_W), 0).astype(F32)
+        rel_x = xc - ax - cc6 * _SI_DX
+        colm = ((rel_x >= 0.0) & (rel_x < _SI_EW)).astype(F32)  # [6, 320]
+        show = data_ref[0, 40:46, :_SI_COLS].astype(BF16)       # [6, 6]
+        rowf = jnp.dot(rowm, show, preferred_element_type=F32)  # [210, 6]
+
+        # --- sprite interval masks (lanes 6..12) -----------------------
+        ys16 = jax.lax.broadcasted_iota(
+            jnp.int32, (_SI_H, 16), 0).astype(F32)
+        sy_row = data_ref[0, 33:34, :16]
+        show_row = data_ref[0, 34:35, :16]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 16), 1)
+        h_row = jnp.where(lane < 8, 10.0, 8.0)
+        wgt = jnp.where(lane == 6, 8.0,
+                        jnp.where(lane == 7, 64.0,
+                                  jnp.where((lane >= 8) & (lane < 13),
+                                            512.0, 0.0)))
+        Rs = (((ys16 >= sy_row) & (ys16 < sy_row + h_row)
+               & (show_row > 0.0)).astype(F32) * wgt)    # [210, 16]
+
+        xs16 = jax.lax.broadcasted_iota(
+            jnp.int32, (16, _SI_W), 1).astype(F32)
+        sx_col = data_ref[0, 48:64, 0:1]                 # [16, 1]
+        lane_c = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+        w_col = jnp.where(lane_c < 8, 16.0, 2.0)
+        in_lane = ((lane_c >= 6) & (lane_c < 13)).astype(F32)
+        Cs = (((xs16 >= sx_col) & (xs16 < sx_col + w_col)).astype(F32)
+              * in_lane)                                 # [16, 320]
+
+        Rall = (jnp.pad(rowf, ((0, 0), (0, 16 - _SI_COLS))) + Rs)
+        Call = (jnp.pad(colm, ((0, 16 - _SI_COLS), (0, 0))) + Cs)
+        V = jnp.dot(Rall.astype(BF16), Call.astype(BF16),
+                    preferred_element_type=F32)          # [210, 320]
+
+        # --- shields: static pads, weight 2 in the cover sum -----------
+        sh = data_ref[0, :SHIELD_ROWS, :48]
+        band = jnp.zeros((SHIELD_ROWS, _SI_W), F32)
+        for s, sx_ in enumerate(shield_xs):
+            seg = sh[:, s * 16:s * 16 + _SHIELD_W]
+            band += jnp.pad(seg, ((0, 0), (sx_, _SI_W - sx_ - _SHIELD_W)))
+        sh_full = jnp.pad(
+            band * 2.0,
+            ((shield_y, _SI_H - shield_y - SHIELD_ROWS), (0, 0)))
+        V = V + sh_full
+
+        # One priority-ordered select chain: every sum that meets a
+        # threshold is exact, and the max sum of lower-priority weights
+        # is < each next weight, so thresholds decode the draw order.
+        img = jnp.where(
+            V >= 512.0, laser_l,
+            jnp.where(V >= 64.0, ship_l,
+                      jnp.where(V >= 8.0, ufo_l,
+                                jnp.where(V >= 2.0, shield_l,
+                                          jnp.where(V >= 0.5, enemy_l,
+                                                    0.0)))))
+
+        out_ref[0] = img.astype(jnp.int32).astype(U8)
+
+    return kernel
+
+
+def make_si_gray_renderer(config, interpret=False):
+    """fn(states) -> u8[N, 210, 320] — pixel-parity with
+    luma2d(space_invaders.render)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    import toybox_tpu.games.space_invaders as si
+
+    sp = config.shield_pos_static
+    n_shields = len(sp)
+    assert n_shields <= 3, "pallas SI renderer supports <= 3 shields"
+    ys_set = {y for _, y in sp}
+    assert len(ys_set) <= 1, "pallas SI renderer needs one shield row"
+    shield_y = int(next(iter(ys_set))) if sp else 0
+    shield_xs = [int(x) for x, _ in sp]
+    assert all(0 <= x <= _SI_W - si.SHIELD_W for x in shield_xs)
+
+    lum = (float(_luma_u32(_pack_rgba(si.ENEMY_COLOR))),
+           float(_luma_u32(_pack_rgba(si.SHIELD_COLOR))),
+           float(_luma_u32(_pack_rgba(si.UFO_COLOR))),
+           float(_luma_u32(_pack_rgba(si.SHIP_COLOR))),
+           float(_luma_u32(_pack_rgba(si.LASER_COLOR))))
+    kernel = _make_si_kernel(shield_xs, shield_y, lum)
+
+    def render(states):
+        n = states.score.shape[0]
+        show = (states.enemy_alive | (states.enemy_death_counter >= 0))
+        show = show.reshape(n, _SI_ROWS, _SI_COLS).astype(F32)
+
+        alpha = jnp.zeros((n, 18, 48), F32)
+        sa = states.shield_alpha.astype(F32)             # [N, S, 18, 16]
+        for s in range(n_shields):
+            alpha = alpha.at[:, :, s * 16:(s + 1) * 16].set(sa[:, s])
+
+        f = lambda x: x.astype(F32)
+        anchor = jnp.stack([f(states.enemy_x[:, 0]),
+                            f(states.enemy_y[:, 0])], axis=1)   # [N, 2]
+
+        # sprite table: ufo, ship, ship laser, 4 enemy lasers
+        sprite_x = jnp.stack(
+            [f(states.ufo_x), f(states.ship_x), f(states.ship_laser_x),
+             f(states.elaser_x[:, 0]), f(states.elaser_x[:, 1]),
+             f(states.elaser_x[:, 2]), f(states.elaser_x[:, 3])], axis=1)
+        sprite_y = jnp.stack(
+            [f(states.ufo_y), f(states.ship_y), f(states.ship_laser_y),
+             f(states.elaser_y[:, 0]), f(states.elaser_y[:, 1]),
+             f(states.elaser_y[:, 2]), f(states.elaser_y[:, 3])], axis=1)
+        sprite_show = jnp.stack(
+            [(states.ufo_appearance_counter == 0).astype(F32),
+             (states.ship_alive
+              | (states.ship_death_counter >= 0)).astype(F32),
+             states.ship_laser_alive.astype(F32),
+             states.elaser_alive[:, 0].astype(F32),
+             states.elaser_alive[:, 1].astype(F32),
+             states.elaser_alive[:, 2].astype(F32),
+             states.elaser_alive[:, 3].astype(F32)], axis=1) * 2 - 1
+
+        data = jnp.zeros((n, 64, 48), F32)
+        data = data.at[:, :18, :48].set(alpha)
+        data = data.at[:, 32, :2].set(anchor)
+        data = data.at[:, 33, 6:13].set(sprite_y)
+        data = data.at[:, 34, 6:13].set(sprite_show)
+        data = data.at[:, 40:46, :_SI_COLS].set(show)
+        data = data.at[:, 54:61, 0].set(sprite_x)
+
+        return pl.pallas_call(
+            kernel,
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec((1, 64, 48), lambda e: (e, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, _SI_H, _SI_W), lambda e: (e, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, _SI_H, _SI_W), U8),
+            interpret=interpret,
+        )(data)
+
+    return render
+
+
+def _pack_rgba(c):
+    c = np.asarray(c, np.uint32)
+    return int(c[0] | (c[1] << 8) | (c[2] << 16) | (c[3] << 24))
