@@ -114,3 +114,33 @@ def test_amidar_si_pipeline_pallas_interpret_matches_xla():
         np.testing.assert_array_equal(np.asarray(rx), np.asarray(rp))
         np.testing.assert_allclose(np.asarray(ox).astype(int),
                                    np.asarray(op).astype(int), atol=1)
+
+
+def test_maxpool_renderers_match_xla():
+    """Fused two-frame max-pool kernels == max of the two XLA renders."""
+    from toybox_tpu.ops import render_pallas as rp
+
+    cases = [
+        ("breakout", 3, 120, rp.make_breakout_gray_maxpool_renderer),
+        ("amidar", 4, 180, rp.make_amidar_gray_maxpool_renderer),
+        ("space_invaders", 11, 300, rp.make_si_gray_maxpool_renderer),
+    ]
+    for game, action, steps, factory in cases:
+        mod, cfg, s1 = _rollout_states(game, 3, steps, action=action)
+        step = jax.jit(jax.vmap(mod.step, in_axes=(None, 0, 0)))
+        from toybox_tpu.core.actions import ale_to_input
+        acts = ale_to_input(jnp.full(3, action, jnp.int32))
+        s2 = step(cfg, s1, acts)
+        if game == "breakout":
+            s1 = s1.replace(reset=jnp.zeros(3, bool))
+            s2 = s2.replace(reset=jnp.zeros(3, bool))
+        f_pl = np.asarray(factory(cfg, interpret=True)(s1, s2))
+        xla = jax.vmap(lambda s: luma2d(mod.render(cfg, s)))
+        f_xla = np.maximum(np.asarray(xla(s1)), np.asarray(xla(s2)))
+        diff = np.abs(f_pl.astype(int) - f_xla.astype(int))
+        assert diff.max() <= 1, f"{game} maxpool mismatch: max {diff.max()}"
+        if game == "breakout":   # in-kernel warp variant (warp_to=84)
+            w_pl = np.asarray(factory(cfg, interpret=True, warp_to=84)(s1, s2))
+            w_ref = np.asarray(warp_matmul(jnp.asarray(f_xla), 84))
+            wdiff = np.abs(w_pl.astype(int) - w_ref.astype(int))
+            assert wdiff.max() <= 1, f"warp_to mismatch: max {wdiff.max()}"

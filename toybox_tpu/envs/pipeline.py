@@ -74,21 +74,35 @@ def make_rl_env(game_name: str, num_envs: int, config=None, skip: int = 4,
         from toybox_tpu.ops import render_pallas as rp
         assert game_name in pallas_games, \
             f"pallas renderer: {pallas_games} only"
-        factory = {
-            "breakout": rp.make_breakout_gray_renderer,
-            "amidar": rp.make_amidar_gray_renderer,
-            "space_invaders": rp.make_si_gray_renderer,
+        factory, factory2 = {
+            "breakout": (rp.make_breakout_gray_renderer,
+                         rp.make_breakout_gray_maxpool_renderer),
+            "amidar": (rp.make_amidar_gray_renderer,
+                       rp.make_amidar_gray_maxpool_renderer),
+            "space_invaders": (rp.make_si_gray_renderer,
+                               rp.make_si_gray_maxpool_renderer),
         }[game_name]
         render_gray = factory(cfg, interpret=not on_tpu)
+        # both max-pool frames composed in ONE kernel sweep; the warp
+        # stays OUTSIDE the kernel — one big batched einsum uses the MXU
+        # far better than per-env [84,H]@[H,W] matmuls in each program
+        # (measured: in-kernel warp_to=84 is ~8% slower end-to-end)
+        render_max = factory2(cfg, interpret=not on_tpu)
 
         def warp(frames):
             return rp.warp_matmul(frames, frame_size)
+
+        def render_max_warp(g1, g2):
+            return warp(render_max(g1, g2))
     else:
         def render_gray(game):
             return jax.vmap(lambda s: luma2d(module.render(cfg, s)))(game)
 
         def warp(frames):
             return obs_ops.warp_frame2d(frames, frame_size)
+
+        def render_max_warp(g1, g2):
+            return warp(jnp.maximum(render_gray(g1), render_gray(g2)))
 
     def reset(seeds):
         env_state, _ = inner.reset(seeds)
@@ -117,13 +131,12 @@ def make_rl_env(game_name: str, num_envs: int, config=None, skip: int = 4,
         env_state, _, r, d, _ = inner.step(env_state, actions)
         total_r += jnp.where(done_any, 0.0, r)
         done_any |= d
-        f1 = render_gray(env_state.game)
+        g1 = env_state.game
         env_state, _, r, d, info = inner.step(env_state, actions)
         total_r += jnp.where(done_any, 0.0, r)
         done_any |= d
-        f2 = render_gray(env_state.game)
 
-        frame = warp(jnp.maximum(f1, f2))                  # [N, 84, 84]
+        frame = render_max_warp(g1, env_state.game)        # [N, 84, 84]
         stack = jnp.concatenate([state.stack[:, 1:], frame[:, None]], axis=1)
 
         lives = info["lives"]

@@ -47,6 +47,88 @@ def _bilinear_matrix(out_size: int, in_size: int) -> np.ndarray:
 _WARP_CACHE = {}
 
 
+# ---------------------------------------------------------------------------
+# Generic per-env frame-composition kernel builder
+# ---------------------------------------------------------------------------
+
+def _frame_call(frame, data, aux, rows, cols, hw, interpret, fused,
+                warp_to=None):
+    """Run a per-env frame-composition function as a Pallas kernel.
+
+    frame(d[rows, cols], *aux) -> f32 luma image [H, W] in [0, 255].
+    data: f32[N, (2*rows if fused else rows), cols] per-env inputs.
+    fused=True composes TWO frames per program and writes only their
+    elementwise max — the DeepMind max-pool folded into the render, so a
+    skip-step renders once instead of render+render+maximum. Exact:
+    u8-truncation is monotone, so max-then-cast == cast-then-max.
+    warp_to=S additionally applies the bilinear 84x84-style warp INSIDE
+    the kernel (two f32 MXU matmuls, matching warp_matmul), so only the
+    [S, S] frame ever leaves VMEM — ~10x less HBM write traffic.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, W = hw
+    n = data.shape[0]
+    blk_rows = data.shape[1]
+    assert blk_rows == (2 * rows if fused else rows)
+    # Per-program launch overhead is a real fraction of these small
+    # frames: compose several envs per grid step (unrolled) to amortize
+    # it. B*H*W f32 intermediates stay well inside VMEM.
+    B = next(b for b in (8, 4, 2, 1) if n % b == 0)
+
+    if warp_to is not None:
+        wy = jnp.asarray(_bilinear_matrix(warp_to, H))       # [S, H]
+        wxt = jnp.asarray(_bilinear_matrix(warp_to, W).T)    # [W, S]
+        aux = list(aux) + [wy, wxt]
+        oh = ow = warp_to
+    else:
+        oh, ow = H, W
+
+    def kernel(data_ref, *refs):
+        *aux_refs, out_ref = refs
+        a = [r[:] for r in aux_refs]
+        if warp_to is not None:
+            *a, wy_v, wxt_v = a
+        for b in range(B):
+            d = data_ref[b]
+            img = frame(d[:rows], *a)
+            if fused:
+                img = jnp.maximum(img, frame(d[rows:], *a))
+            if warp_to is not None:
+                # the unfused path warps u8-truncated frames — truncate
+                # first so the matmul sees identical values
+                img = img.astype(jnp.int32).astype(F32)
+                # same math as warp_matmul: f32 HIGHEST so bf16 MXU
+                # passes don't perturb the rounding vs the XLA path
+                img = jax.lax.dot_general(
+                    wy_v, img, (((1,), (0,)), ((), ())),
+                    preferred_element_type=F32,
+                    precision=jax.lax.Precision.HIGHEST)
+                img = jax.lax.dot_general(
+                    img, wxt_v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=F32,
+                    precision=jax.lax.Precision.HIGHEST)
+                img = jnp.clip(jnp.round(img), 0.0, 255.0)
+            # Mosaic has no f32->u8 cast; go through i32
+            out_ref[b] = img.astype(jnp.int32).astype(U8)
+
+    in_specs = [pl.BlockSpec((B, blk_rows, cols), lambda e: (e, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    for arr in aux:
+        in_specs.append(pl.BlockSpec(arr.shape, lambda e: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        kernel,
+        grid=(n // B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((B, oh, ow), lambda e: (e, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, oh, ow), U8),
+        interpret=interpret,
+    )(data, *aux)
+
+
 def warp_matmul(frames: jnp.ndarray, size: int = 84) -> jnp.ndarray:
     """uint8 [..., H, W] -> [..., size, size] via two dense matmuls."""
     *lead, h, w = frames.shape
@@ -88,24 +170,24 @@ def _luma_u32(packed):
     return 0.299 * r + 0.587 * g + 0.114 * b
 
 
-def _breakout_kernel(data_ref, base_ref, expand_ref, out_ref):
-    """One program = one env's full frame.
+def _breakout_frame(d, base, expand):
+    """Compose one env's frame in VMEM.
 
-    data_ref: f32[1, 32, 24] — rows 0..23: brick luma grid (-1 = empty;
+    d: f32[32, 24] — rows 0..23: brick luma grid (-1 = empty;
     cols padded 18->24); row 24: per-env scalars (paddle_x, half_w,
     paddle_luma, ball_luma, radius, bx0..3, by0..3, show0..3 as +/-1).
-    base_ref: f32[160, 240] static background luma.
+    base: f32[160, 240] static background luma.
     """
     # Mosaic iota must be integer; cast to f32 for the sprite compares
     ys = jax.lax.broadcasted_iota(jnp.int32, (_H, _W), 0).astype(F32)
     xs = jax.lax.broadcasted_iota(jnp.int32, (_H, _W), 1).astype(F32)
-    img = base_ref[:]
+    img = base
 
-    band = data_ref[0, :_BAND_ROWS, :]                   # [24, 24]
+    band = d[:_BAND_ROWS, :]                             # [24, 24]
     band = jnp.repeat(band, _CELL_H, axis=0)             # [96, 24] sublane
     # lane-axis upsample: Mosaic can't reshape across lanes, so expand
     # columns with a static 0/1 matrix on the MXU
-    band = jnp.dot(band, expand_ref[:], preferred_element_type=F32)
+    band = jnp.dot(band, expand, preferred_element_type=F32)
     band_full = jnp.pad(
         band,
         ((_BAND_Y0, _H - _BAND_Y0 - _BAND_ROWS * _CELL_H),
@@ -113,7 +195,7 @@ def _breakout_kernel(data_ref, base_ref, expand_ref, out_ref):
         constant_values=-1.0)
     img = jnp.where(band_full >= 0.0, band_full, img)
 
-    scal = data_ref[0, _BAND_ROWS, :]                    # [24]
+    scal = d[_BAND_ROWS, :]                              # [24]
     px = scal[0]
     half = scal[1]
     pad_luma = scal[2]
@@ -131,8 +213,7 @@ def _breakout_kernel(data_ref, base_ref, expand_ref, out_ref):
              & (ys >= by - r) & (ys < by + r) & show)
         img = jnp.where(m, ball_luma, img)
 
-    # Mosaic has no f32->u8 cast; go through i32
-    out_ref[0] = jnp.clip(img, 0.0, 255.0).astype(jnp.int32).astype(U8)
+    return jnp.clip(img, 0.0, 255.0)
 
 
 def _breakout_static_base(config) -> jnp.ndarray:
@@ -147,21 +228,12 @@ def _breakout_static_base(config) -> jnp.ndarray:
     return jnp.asarray(base)
 
 
-def make_breakout_gray_renderer(config, interpret=False):
-    """Factory: precompute the static background + color lumas on the
-    host, return a jit-safe fn(states) -> u8[N, 160, 240].
-
-    The returned function runs the Pallas kernel; pass interpret=True on
-    non-TPU backends (tests), or use the XLA path in games/breakout.py.
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    base = _breakout_static_base(config)
+def _breakout_prep(config):
+    """Host-side factory: fn(states) -> f32[N, 32, 24] kernel data."""
     pad_luma = float(np.asarray(_luma_u32(np.asarray(config.paddle_color))))
     ball_luma = float(np.asarray(_luma_u32(np.asarray(config.ball_color))))
 
-    def render(states):
+    def prep(states):
         n = states.score.shape[0]
         # brick luma grid via the one-hot MXU scatter (vectorized)
         rows = jnp.clip(states.brick_row, 0, _BAND_ROWS - 1)
@@ -192,28 +264,47 @@ def make_breakout_gray_renderer(config, interpret=False):
         ], axis=1).astype(F32)                         # [E, 17]
         scal = jnp.pad(scal, ((0, 0), (0, 24 - scal.shape[1])))
         # pack scalars as row 24 of the per-env data block ([E, 32, 24])
-        data = jnp.concatenate(
+        return jnp.concatenate(
             [grid, scal[:, None, :],
              jnp.zeros((n, 32 - _BAND_ROWS - 1, 24), F32)], axis=1)
 
-        return pl.pallas_call(
-            _breakout_kernel,
-            grid=(n,),
-            in_specs=[
-                pl.BlockSpec((1, 32, 24), lambda e: (e, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((_H, _W), lambda e: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((24, _BAND_COLS * _CELL_W), lambda e: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, _H, _W), lambda e: (e, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n, _H, _W), U8),
-            interpret=interpret,
-        )(data, base, jnp.asarray(_COL_EXPAND))
+    return prep
+
+
+def _breakout_aux(config):
+    return [_breakout_static_base(config), jnp.asarray(_COL_EXPAND)]
+
+
+def make_breakout_gray_renderer(config, interpret=False):
+    """Factory: precompute the static background + color lumas on the
+    host, return a jit-safe fn(states) -> u8[N, 160, 240].
+
+    The returned function runs the Pallas kernel; pass interpret=True on
+    non-TPU backends (tests), or use the XLA path in games/breakout.py.
+    """
+    prep, aux = _breakout_prep(config), _breakout_aux(config)
+
+    def render(states):
+        return _frame_call(_breakout_frame, prep(states), aux,
+                           32, 24, (_H, _W), interpret, fused=False)
 
     return render
+
+
+def make_breakout_gray_maxpool_renderer(config, interpret=False,
+                                        warp_to=None):
+    """fn(states1, states2) -> u8[N, 160, 240] == max(render(s1),
+    render(s2)) — the skip-step max-pool fused into one kernel sweep.
+    warp_to=84 additionally warps in-kernel -> u8[N, 84, 84]."""
+    prep, aux = _breakout_prep(config), _breakout_aux(config)
+
+    def render2(s1, s2):
+        data = jnp.concatenate([prep(s1), prep(s2)], axis=1)
+        return _frame_call(_breakout_frame, data, aux,
+                           32, 24, (_H, _W), interpret, fused=True,
+                           warp_to=warp_to)
+
+    return render2
 
 
 # ---------------------------------------------------------------------------
@@ -232,8 +323,8 @@ for _c in range(_AM_BW):
     _AM_EXPAND[_c, _c * _AM_TPW:(_c + 1) * _AM_TPW] = 1.0
 
 
-def _make_amidar_kernel(lum):
-    """Close over the (config-static) lumas. data_ref f32[1, 50, 32]:
+def _make_amidar_frame(lum):
+    """Close over the (config-static) lumas. d f32[50, 32]:
     rows 0..30 = tile CODE grid (0 bg / 1 inner-painted / 2 painted /
     3 unpainted); row 32 = sprite y (8 enemies + player at lane 8);
     row 33 = show (+/-1); rows 34..42 col 0 = sprite x (as a column,
@@ -252,10 +343,10 @@ def _make_amidar_kernel(lum):
     BF16 = jnp.bfloat16
     bg_l, inner_l, painted_l, unpainted_l, player_l, enemy_l = lum
 
-    def kernel(data_ref, expand_ref, out_ref):
-        codes = data_ref[0, :_AM_BH, :]                  # [31, 32] f32
+    def frame(d, expand):
+        codes = d[:_AM_BH, :]                            # [31, 32] f32
         band = jnp.repeat(codes, _AM_TPH, axis=0)        # [155, 32]
-        c = jnp.dot(band.astype(BF16), expand_ref[:],
+        c = jnp.dot(band.astype(BF16), expand,
                     preferred_element_type=F32)          # [155, 128]
         band_l = jnp.where(
             c < 0.5, bg_l,
@@ -269,8 +360,8 @@ def _make_amidar_kernel(lum):
 
         ys16 = jax.lax.broadcasted_iota(
             jnp.int32, (_AM_H, 16), 0).astype(F32)
-        sy_row = data_ref[0, 32:33, :16]
-        show_row = data_ref[0, 33:34, :16]
+        sy_row = d[32:33, :16]
+        show_row = d[33:34, :16]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 16), 1)
         wgt = jnp.where(lane == 8, 1024.0, jnp.where(lane < 8, 1.0, 0.0))
         R = (((ys16 >= sy_row) & (ys16 < sy_row + _AM_TPH)
@@ -278,7 +369,7 @@ def _make_amidar_kernel(lum):
 
         xs16 = jax.lax.broadcasted_iota(
             jnp.int32, (16, _AM_W), 1).astype(F32)
-        sx_col = data_ref[0, 34:50, 0:1]                 # [16, 1]
+        sx_col = d[34:50, 0:1]                           # [16, 1]
         C = ((xs16 >= sx_col)
              & (xs16 < sx_col + _AM_TPW)).astype(BF16)   # [16, 160]
 
@@ -288,18 +379,13 @@ def _make_amidar_kernel(lum):
                         jnp.where(V >= 1024.0, player_l, enemy_l),
                         img)
 
-        out_ref[0] = img.astype(jnp.int32).astype(U8)
+        return img
 
-    return kernel
+    return frame
 
 
-def make_amidar_gray_renderer(config, interpret=False):
-    """fn(states) -> u8[N, 250, 160] — pixel-parity with
-    luma2d(amidar.render) (games/amidar.py render: tile grid upsample +
-    sprite rects), composed in one VMEM pass."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
+def _amidar_prep_frame(config):
+    """Host-side factory: (prep(states) -> f32[N, 50, 32], frame, aux)."""
     import toybox_tpu.games.amidar as am
 
     def _luma_rgba(c):
@@ -310,11 +396,12 @@ def make_amidar_gray_renderer(config, interpret=False):
            for k in ("bg_color", "unpainted_color", "painted_color",
                      "inner_painted_color", "player_color", "enemy_color")}
     inner_masks = jnp.asarray(config.inner_masks)
-    kernel = _make_amidar_kernel(
+    frame = _make_amidar_frame(
         (lum["bg_color"], lum["inner_painted_color"], lum["painted_color"],
          lum["unpainted_color"], lum["player_color"], lum["enemy_color"]))
+    aux = [jnp.asarray(_AM_EXPAND, jnp.bfloat16)]
 
-    def render(states):
+    def prep(states):
         n = states.score.shape[0]
         inner = jnp.einsum(
             "eb,bt->et", states.box_painted.astype(F32), inner_masks,
@@ -346,23 +433,38 @@ def make_amidar_gray_renderer(config, interpret=False):
         data = data.at[:, 32, :9].set(sprite_y)
         data = data.at[:, 33, :9].set(show)
         data = data.at[:, 34:43, 0].set(sprite_x)
+        return data
 
-        return pl.pallas_call(
-            kernel,
-            grid=(n,),
-            in_specs=[
-                pl.BlockSpec((1, 50, _AM_BW), lambda e: (e, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((_AM_BW, _AM_BW * _AM_TPW), lambda e: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, _AM_H, _AM_W), lambda e: (e, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n, _AM_H, _AM_W), U8),
-            interpret=interpret,
-        )(data, jnp.asarray(_AM_EXPAND, jnp.bfloat16))
+    return prep, frame, aux
+
+
+def make_amidar_gray_renderer(config, interpret=False):
+    """fn(states) -> u8[N, 250, 160] — pixel-parity with
+    luma2d(amidar.render) (games/amidar.py render: tile grid upsample +
+    sprite rects), composed in one VMEM pass."""
+    prep, frame, aux = _amidar_prep_frame(config)
+
+    def render(states):
+        return _frame_call(frame, prep(states), aux,
+                           50, _AM_BW, (_AM_H, _AM_W), interpret,
+                           fused=False)
 
     return render
+
+
+def make_amidar_gray_maxpool_renderer(config, interpret=False,
+                                      warp_to=None):
+    """fn(states1, states2) -> u8[N, 250, 160] == max of both renders.
+    warp_to=84 additionally warps in-kernel -> u8[N, 84, 84]."""
+    prep, frame, aux = _amidar_prep_frame(config)
+
+    def render2(s1, s2):
+        data = jnp.concatenate([prep(s1), prep(s2)], axis=1)
+        return _frame_call(frame, data, aux,
+                           50, _AM_BW, (_AM_H, _AM_W), interpret,
+                           fused=True, warp_to=warp_to)
+
+    return render2
 
 
 # ---------------------------------------------------------------------------
@@ -378,10 +480,10 @@ _SI_BAND_W = _SI_COLS * _SI_DX   # 192
 SHIELD_ROWS, _SHIELD_W = 18, 16  # games/space_invaders.py SHIELD_H/W
 
 
-def _make_si_kernel(shield_xs, shield_y, lum):
+def _make_si_frame(shield_xs, shield_y, lum):
     """Close over the config-static shield placement and lumas.
 
-    data_ref f32[1, 64, 48]:
+    d f32[64, 48]:
     rows 0..17, cols 0..47 = shield alpha (3 shields side by side);
     rows 40..45, cols 0..5 = formation show grid;
     row 32 lanes 0,1 = formation anchor (ax, ay);
@@ -404,8 +506,8 @@ def _make_si_kernel(shield_xs, shield_y, lum):
     BF16 = jnp.bfloat16
     enemy_l, shield_l, ufo_l, ship_l, laser_l = lum
 
-    def kernel(data_ref, out_ref):
-        scal = data_ref[0, 32, :]
+    def frame(d):
+        scal = d[32, :]
 
         # --- formation row/col interval maps (lanes 0..5) --------------
         # cover[y,x] = sum_{r,c} rowm[y,r] * show[r,c] * colm[c,x]
@@ -424,14 +526,14 @@ def _make_si_kernel(shield_xs, shield_y, lum):
             jnp.int32, (_SI_COLS, _SI_W), 0).astype(F32)
         rel_x = xc - ax - cc6 * _SI_DX
         colm = ((rel_x >= 0.0) & (rel_x < _SI_EW)).astype(F32)  # [6, 320]
-        show = data_ref[0, 40:46, :_SI_COLS].astype(BF16)       # [6, 6]
+        show = d[40:46, :_SI_COLS].astype(BF16)                 # [6, 6]
         rowf = jnp.dot(rowm, show, preferred_element_type=F32)  # [210, 6]
 
         # --- sprite interval masks (lanes 6..12) -----------------------
         ys16 = jax.lax.broadcasted_iota(
             jnp.int32, (_SI_H, 16), 0).astype(F32)
-        sy_row = data_ref[0, 33:34, :16]
-        show_row = data_ref[0, 34:35, :16]
+        sy_row = d[33:34, :16]
+        show_row = d[34:35, :16]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 16), 1)
         h_row = jnp.where(lane < 8, 10.0, 8.0)
         wgt = jnp.where(lane == 6, 8.0,
@@ -443,7 +545,7 @@ def _make_si_kernel(shield_xs, shield_y, lum):
 
         xs16 = jax.lax.broadcasted_iota(
             jnp.int32, (16, _SI_W), 1).astype(F32)
-        sx_col = data_ref[0, 48:64, 0:1]                 # [16, 1]
+        sx_col = d[48:64, 0:1]                           # [16, 1]
         lane_c = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
         w_col = jnp.where(lane_c < 8, 16.0, 2.0)
         in_lane = ((lane_c >= 6) & (lane_c < 13)).astype(F32)
@@ -456,7 +558,7 @@ def _make_si_kernel(shield_xs, shield_y, lum):
                     preferred_element_type=F32)          # [210, 320]
 
         # --- shields: static pads, weight 2 in the cover sum -----------
-        sh = data_ref[0, :SHIELD_ROWS, :48]
+        sh = d[:SHIELD_ROWS, :48]
         band = jnp.zeros((SHIELD_ROWS, _SI_W), F32)
         for s, sx_ in enumerate(shield_xs):
             seg = sh[:, s * 16:s * 16 + _SHIELD_W]
@@ -477,17 +579,13 @@ def _make_si_kernel(shield_xs, shield_y, lum):
                                           jnp.where(V >= 0.5, enemy_l,
                                                     0.0)))))
 
-        out_ref[0] = img.astype(jnp.int32).astype(U8)
+        return img
 
-    return kernel
+    return frame
 
 
-def make_si_gray_renderer(config, interpret=False):
-    """fn(states) -> u8[N, 210, 320] — pixel-parity with
-    luma2d(space_invaders.render)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
+def _si_prep_frame(config):
+    """Host-side factory: (prep(states) -> f32[N, 64, 48], frame)."""
     import toybox_tpu.games.space_invaders as si
 
     sp = config.shield_pos_static
@@ -504,9 +602,9 @@ def make_si_gray_renderer(config, interpret=False):
            float(_luma_u32(_pack_rgba(si.UFO_COLOR))),
            float(_luma_u32(_pack_rgba(si.SHIP_COLOR))),
            float(_luma_u32(_pack_rgba(si.LASER_COLOR))))
-    kernel = _make_si_kernel(shield_xs, shield_y, lum)
+    frame = _make_si_frame(shield_xs, shield_y, lum)
 
-    def render(states):
+    def prep(states):
         n = states.score.shape[0]
         show = (states.enemy_alive | (states.enemy_death_counter >= 0))
         show = show.reshape(n, _SI_ROWS, _SI_COLS).astype(F32)
@@ -546,21 +644,36 @@ def make_si_gray_renderer(config, interpret=False):
         data = data.at[:, 34, 6:13].set(sprite_show)
         data = data.at[:, 40:46, :_SI_COLS].set(show)
         data = data.at[:, 54:61, 0].set(sprite_x)
+        return data
 
-        return pl.pallas_call(
-            kernel,
-            grid=(n,),
-            in_specs=[
-                pl.BlockSpec((1, 64, 48), lambda e: (e, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, _SI_H, _SI_W), lambda e: (e, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n, _SI_H, _SI_W), U8),
-            interpret=interpret,
-        )(data)
+    return prep, frame
+
+
+def make_si_gray_renderer(config, interpret=False):
+    """fn(states) -> u8[N, 210, 320] — pixel-parity with
+    luma2d(space_invaders.render)."""
+    prep, frame = _si_prep_frame(config)
+
+    def render(states):
+        return _frame_call(frame, prep(states), [],
+                           64, 48, (_SI_H, _SI_W), interpret, fused=False)
 
     return render
+
+
+def make_si_gray_maxpool_renderer(config, interpret=False,
+                                  warp_to=None):
+    """fn(states1, states2) -> u8[N, 210, 320] == max of both renders.
+    warp_to=84 additionally warps in-kernel -> u8[N, 84, 84]."""
+    prep, frame = _si_prep_frame(config)
+
+    def render2(s1, s2):
+        data = jnp.concatenate([prep(s1), prep(s2)], axis=1)
+        return _frame_call(frame, data, [],
+                           64, 48, (_SI_H, _SI_W), interpret, fused=True,
+                           warp_to=warp_to)
+
+    return render2
 
 
 def _pack_rgba(c):
