@@ -1,5 +1,7 @@
 """Tests for misc utils, checkpointing, profiler, make_vec_env, lstm nets."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -79,3 +81,64 @@ def test_profiler_wall_timer():
     with wall_timer("thing", logger):
         pass
     assert "wait_thing" in logger.name2val
+
+
+def test_results_plotter(tmp_path):
+    from toybox_tpu.results_plotter import (episodes_to_xy, load_monitor_dir,
+                                            plot_results, running_mean,
+                                            truncate_to_timesteps)
+    from toybox_tpu.utils.monitor import BatchedMonitor
+
+    mon = BatchedMonitor(str(tmp_path / "run0"))
+    for r in (1.0, 2.0, 3.0, 4.0):
+        mon.record_info({"episode_return": np.array([r, np.nan]),
+                         "episode_length": np.array([10, 0])})
+    mon.close()
+
+    eps = load_monitor_dir(str(tmp_path))
+    assert [e["r"] for e in eps] == [1.0, 2.0, 3.0, 4.0]
+
+    x, y = episodes_to_xy(eps, "timesteps")
+    np.testing.assert_allclose(x, [10, 20, 30, 40])
+    np.testing.assert_allclose(running_mean(y, window=2),
+                               [1.0, 1.5, 2.5, 3.5])
+    assert len(truncate_to_timesteps(eps, 25)) == 2
+
+    out = tmp_path / "curves.png"
+    plot_results([str(tmp_path)], xaxis="episodes", title="t",
+                 out=str(out))
+    assert out.exists() and out.stat().st_size > 0
+
+
+def test_learn_resumes_from_checkpoint_bit_exact(tmp_path):
+    """Interrupted-then-resumed training == continuous training: learn()
+    auto-restores the latest ckpt (the deepq restore-latest behavior,
+    reference deepq/deepq.py:268-276, generalized) and the full state
+    pytree carries everything, so resumption is exact."""
+    from toybox_tpu.rl.ppo import learn
+    from toybox_tpu.rl.test_envs import make_discrete_identity_env
+
+    kw = dict(network="mlp", nsteps=4, nminibatches=1, noptepochs=1,
+              seed=0, network_kwargs=dict(num_hidden=16))
+
+    def env():
+        return make_discrete_identity_env(4, dim=3)
+
+    # full run, checkpointing every update (ckpt_1..ckpt_6)
+    ckpt_dir = str(tmp_path / "ck")
+    full = learn(env=env(), total_timesteps=6 * 16,
+                 checkpoint_path=ckpt_dir, checkpoint_freq=1, **kw)
+
+    # simulate an interruption after update 3: drop the later
+    # checkpoints, then rerun with identical flags — learn() must
+    # auto-restore ckpt_3 and replay updates 4-6 exactly
+    for n in (4, 5, 6):
+        os.remove(os.path.join(ckpt_dir, f"ckpt_{n}"))
+    resumed = learn(env=env(), total_timesteps=6 * 16,
+                    checkpoint_path=ckpt_dir, checkpoint_freq=1, **kw)
+
+    assert int(full.update) == int(resumed.update) == 6
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        full.params, resumed.params)

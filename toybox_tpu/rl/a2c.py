@@ -20,6 +20,7 @@ from flax import struct
 from toybox_tpu.envs.pipeline import make_rl_env
 from toybox_tpu.rl.policies import build_policy, pd_from_logits
 from toybox_tpu.rl.ppo import load_params, save_params
+from toybox_tpu.utils.checkpoint import Checkpointer
 
 F32 = jnp.float32
 
@@ -128,7 +129,7 @@ def learn(*, env=None, game="breakout", num_envs=16, total_timesteps=10_000,
           seed=0, network="cnn", nsteps=5, gamma=0.99, ent_coef=0.01,
           vf_coef=0.5, lr=7e-4, max_grad_norm=0.5, log_interval=100,
           save_path=None, load_path=None, logger=None, network_kwargs=None,
-          **_ignored):
+          checkpoint_path=None, checkpoint_freq=500, **_ignored):
     env_fns = env if env is not None else make_rl_env(game, num_envs)
     nbatch = env_fns.num_envs * nsteps
     fpstep = getattr(env_fns, "frames_per_step", 1)  # actual frameskip
@@ -143,20 +144,25 @@ def learn(*, env=None, game="breakout", num_envs=16, total_timesteps=10_000,
     if load_path is not None:
         state = state.replace(params=load_params(load_path, state.params))
 
+    ckpt = Checkpointer(checkpoint_path, checkpoint_freq)
+    state = ckpt.restore(state)
+    start_update = int(state.update)
+
     step_jit = jax.jit(train_step, donate_argnums=(0,))
     t0 = time.perf_counter()
-    for update in range(1, total_updates + 1):
+    for update in range(start_update + 1, total_updates + 1):
         state, metrics = step_jit(state)
         if logger is not None and update % log_interval == 0:
             m = jax.device_get(metrics)
             logger.logkv("nupdates", update)
             logger.logkv("total_timesteps", update * nbatch * fpstep)
             logger.logkv("fps",
-                         int(update * nbatch * fpstep /
+                         int((update - start_update) * nbatch * fpstep /
                              (time.perf_counter() - t0)))
             for k, v in m.items():
                 logger.logkv(k, float(v))
             logger.dumpkvs()
+        ckpt.maybe_save(state, update)
     jax.block_until_ready(state.params)
     if save_path is not None:
         save_params(save_path, state.params)

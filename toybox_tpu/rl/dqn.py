@@ -29,6 +29,7 @@ from flax import struct
 from toybox_tpu.envs.pipeline import make_rl_env
 from toybox_tpu.rl.models import get_network_builder
 from toybox_tpu.rl.ppo import load_params, save_params
+from toybox_tpu.utils.checkpoint import Checkpointer
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -265,7 +266,8 @@ def learn(*, env=None, game="breakout", num_envs=4, total_timesteps=100_000,
           target_network_update_freq=1000, gamma=0.99,
           prioritized_replay=True, dueling=True, double_q=True,
           log_interval=500, save_path=None, load_path=None, logger=None,
-          network_kwargs=None, **_ignored):
+          network_kwargs=None, checkpoint_path=None, checkpoint_freq=50,
+          **_ignored):
     env_fns = env if env is not None else make_rl_env(game, num_envs)
 
     init_fn, cycle, _ = make_dqn(
@@ -287,6 +289,13 @@ def learn(*, env=None, game="breakout", num_envs=4, total_timesteps=100_000,
     # dispatch-latency-bound (each cycle is tiny device work)
     jit_cycles = max(int(_ignored.get("jit_cycles", 16)), 1)
 
+    # restore-latest (reference deepq/deepq.py:268-276); state.t counts
+    # env steps, so the resume point in cycles falls out of it
+    ckpt = Checkpointer(checkpoint_path, checkpoint_freq)
+    state = ckpt.restore(state)
+    start_cycle = int(state.t) // (train_freq * env_fns.num_envs
+                                   * jit_cycles)
+
     @partial(jax.jit, donate_argnums=(0,))
     def run_cycles(state):
         def body(st, _):
@@ -295,19 +304,22 @@ def learn(*, env=None, game="breakout", num_envs=4, total_timesteps=100_000,
         state, metrics = jax.lax.scan(body, state, None, length=jit_cycles)
         return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
 
-    frames_per_cycle = train_freq * env_fns.num_envs * 4 * jit_cycles
+    # engine frames per env.step — follow the env's actual frameskip
+    fpstep = getattr(env_fns, "frames_per_step", 1)
+    frames_per_cycle = train_freq * env_fns.num_envs * fpstep * jit_cycles
     ncycles = max(int(total_timesteps) // frames_per_cycle, 1)
     t0 = time.perf_counter()
-    for i in range(1, ncycles + 1):
+    for i in range(start_cycle + 1, ncycles + 1):
         state, metrics = run_cycles(state)
         if logger is not None and i % log_interval == 0:
             m = jax.device_get(metrics)
             logger.logkv("steps", i * frames_per_cycle)
-            logger.logkv("fps", int(i * frames_per_cycle /
+            logger.logkv("fps", int((i - start_cycle) * frames_per_cycle /
                                     (time.perf_counter() - t0)))
             for k, v in m.items():
                 logger.logkv(k, float(v))
             logger.dumpkvs()
+        ckpt.maybe_save(state, i)
     jax.block_until_ready(state.params)
     if save_path is not None:
         save_params(save_path, state.params)

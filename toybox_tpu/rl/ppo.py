@@ -28,6 +28,7 @@ from flax import serialization, struct
 
 from toybox_tpu.envs.pipeline import make_rl_env
 from toybox_tpu.rl.policies import build_policy, pd_from_logits
+from toybox_tpu.utils.checkpoint import Checkpointer
 
 F32 = jnp.float32
 
@@ -220,7 +221,7 @@ def learn(*, env=None, game="breakout", num_envs=8, total_timesteps=10_000,
           lr=2.5e-4, cliprange=0.1, gamma=0.99, lam=0.95, ent_coef=0.01,
           vf_coef=0.5, max_grad_norm=0.5, log_interval=1, save_path=None,
           load_path=None, logger=None, mesh=None, network_kwargs=None,
-          **extra):
+          checkpoint_path=None, checkpoint_freq=50, **extra):
     if network in ("lstm", "cnn_lstm", "cnn_lnlstm"):
         from toybox_tpu.rl.ppo_recurrent import learn as rlearn
         return rlearn(env=env, game=game, num_envs=num_envs,
@@ -251,6 +252,10 @@ def learn(*, env=None, game="breakout", num_envs=8, total_timesteps=10_000,
     if load_path is not None:
         state = state.replace(params=load_params(load_path, state.params))
 
+    ckpt = Checkpointer(checkpoint_path, checkpoint_freq)
+    state = ckpt.restore(state)   # resume from the latest ckpt_<n> if any
+    start_update = int(state.update)
+
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         env_sharding = NamedSharding(mesh, P("env"))
@@ -263,7 +268,7 @@ def learn(*, env=None, game="breakout", num_envs=8, total_timesteps=10_000,
 
     step_jit = jax.jit(train_step, donate_argnums=(0,))
     t0 = time.perf_counter()
-    for update in range(1, total_updates + 1):
+    for update in range(start_update + 1, total_updates + 1):
         state, metrics = step_jit(state)
         if logger is not None and update % log_interval == 0:
             metrics = jax.device_get(metrics)
@@ -271,12 +276,14 @@ def learn(*, env=None, game="breakout", num_envs=8, total_timesteps=10_000,
             logger.logkv("misc/serial_timesteps", update * nsteps)
             logger.logkv("misc/nupdates", update)
             logger.logkv("misc/total_timesteps", update * nbatch * fpstep)
-            logger.logkv("fps", int(update * nbatch * fpstep / elapsed))
+            logger.logkv("fps", int((update - start_update) * nbatch
+                                    * fpstep / elapsed))
             for k, v in metrics.items():
                 logger.logkv(k if "/" in k else f"loss/{k}"
                              if "loss" in k or k in ("approxkl", "clipfrac")
                              else k, float(v))
             logger.dumpkvs()
+        ckpt.maybe_save(state, update)
     jax.block_until_ready(state.params)
 
     if save_path is not None:

@@ -30,6 +30,35 @@ def load_checkpoint(path: str, template: Any) -> Any:
         return serialization.from_bytes(template, f.read())
 
 
+class Checkpointer:
+    """Periodic save + restore-latest for a learn loop (the reference's
+    deepq restore-if-checkpoint-exists behavior, deepq.py:268-276,
+    generalized to every algorithm's full training state).
+
+    ``restore(state)`` loads the newest ``ckpt_<n>`` into the freshly
+    initialized template if one exists; ``maybe_save(state, n)`` writes
+    ``ckpt_<n>`` every ``freq`` calls. A no-op when ``ckpt_dir`` is None,
+    so learn loops can call it unconditionally."""
+
+    def __init__(self, ckpt_dir, freq: int = 50, prefix: str = "ckpt"):
+        self.ckpt_dir = ckpt_dir
+        self.freq = max(int(freq), 1)
+        self.prefix = prefix
+
+    def restore(self, state):
+        if self.ckpt_dir is None:
+            return state
+        path = latest_checkpoint(self.ckpt_dir, self.prefix)
+        if path is None:
+            return state
+        return load_checkpoint(path, state)
+
+    def maybe_save(self, state, n: int) -> None:
+        if self.ckpt_dir is not None and n % self.freq == 0:
+            save_checkpoint(
+                os.path.join(self.ckpt_dir, f"{self.prefix}_{n}"), state)
+
+
 def latest_checkpoint(ckpt_dir: str, prefix: str = "ckpt"):
     """Most recent '<prefix>_<step>' file in a directory, or None."""
     if not os.path.isdir(ckpt_dir):
