@@ -23,9 +23,11 @@ MAX_FRAMES = 20_000   # per game safety cap
 
 
 def play_games(game: str, params, network: str, n_games: int,
-               score_cap: int = SCORE_CAP, seed: int = 0):
-    """Play games with a greedy-ish policy on the batched env; one env per
-    game for reference-equivalent (serial-episode) semantics."""
+               score_cap: int = SCORE_CAP, seed: int = 0, chunk: int = 128):
+    """Play games with the trained policy on the batched env; one env per
+    game for reference-equivalent (serial-episode) semantics. Stepping is
+    batched into jitted scan chunks: a per-step host loop over a remote
+    device pays the dispatch-latency floor thousands of times."""
     import jax
     import jax.numpy as jnp
 
@@ -38,24 +40,33 @@ def play_games(game: str, params, network: str, n_games: int,
     if params is None:
         params = p_init(jax.random.PRNGKey(seed))
 
-    st, obs = jax.jit(env.reset)(
-        jnp.arange(n_games, dtype=jnp.uint32) + jnp.uint32(seed))
-    step = jax.jit(env.step)
-    key = jax.random.PRNGKey(seed)
+    @jax.jit
+    def run_chunk(params, st, totals, finished, key):
+        def body(carry, _):
+            st, totals, finished, key = carry
+            key, akey = jax.random.split(key)
+            actions, _, _, _ = p_step(params, st.frames, akey)
+            st, _, _, done, info = env.step(st, actions)
+            totals = jnp.where(finished, totals, totals + info["raw_reward"])
+            # early-done at the cap (regress.py:171-174) or game over
+            finished = finished | done | (totals > score_cap)
+            return (st, totals, finished, key), None
 
-    totals = np.zeros(n_games)
-    finished = np.zeros(n_games, bool)
-    for _ in range(MAX_FRAMES // 4):
-        key, akey = jax.random.split(key)
-        actions, _, _, _ = p_step(params, st.frames, akey)
-        st, obs, rew, done, info = step(st, actions)
-        r = np.asarray(info["raw_reward"])
-        totals = np.where(finished, totals, totals + r)
-        # early-done at the cap (regress.py:171-174) or game over
-        finished |= np.asarray(done) | (totals > score_cap)
-        if finished.all():
+        (st, totals, finished, key), _ = jax.lax.scan(
+            body, (st, totals, finished, key), None, length=chunk)
+        return st, totals, finished, key
+
+    st, _ = jax.jit(env.reset)(
+        jnp.arange(n_games, dtype=jnp.uint32) + jnp.uint32(seed))
+    totals = jnp.zeros(n_games)
+    finished = jnp.zeros(n_games, bool)
+    key = jax.random.PRNGKey(seed)
+    for _ in range(MAX_FRAMES // 4 // chunk):
+        st, totals, finished, key = run_chunk(params, st, totals, finished,
+                                              key)
+        if bool(jax.device_get(finished).all()):
             break
-    return totals
+    return np.asarray(jax.device_get(totals))
 
 
 def main(argv=None):

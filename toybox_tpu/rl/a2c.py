@@ -129,7 +129,8 @@ def learn(*, env=None, game="breakout", num_envs=16, total_timesteps=10_000,
           seed=0, network="cnn", nsteps=5, gamma=0.99, ent_coef=0.01,
           vf_coef=0.5, lr=7e-4, max_grad_norm=0.5, log_interval=100,
           save_path=None, load_path=None, logger=None, network_kwargs=None,
-          checkpoint_path=None, checkpoint_freq=500, **_ignored):
+          checkpoint_path=None, checkpoint_freq=500, updates_per_jit=1,
+          **_ignored):
     env_fns = env if env is not None else make_rl_env(game, num_envs)
     nbatch = env_fns.num_envs * nsteps
     fpstep = getattr(env_fns, "frames_per_step", 1)  # actual frameskip
@@ -148,21 +149,38 @@ def learn(*, env=None, game="breakout", num_envs=16, total_timesteps=10_000,
     state = ckpt.restore(state)
     start_update = int(state.update)
 
-    step_jit = jax.jit(train_step, donate_argnums=(0,))
+    # A2C's classical regime is MANY small-batch updates (the reference
+    # runs ~10^5 of them); a per-update host loop over a remote device is
+    # dispatch-latency-bound, so scan a block of updates per dispatch.
+    upj = max(int(updates_per_jit), 1)
+
+    def step_block(state):
+        def body(st, _):
+            return train_step(st)
+
+        state, ms = jax.lax.scan(body, state, None, length=upj)
+        metrics = jax.tree_util.tree_map(lambda x: x[-1], ms)
+        # episode stats aggregate across the whole block, not just its tail
+        metrics["eprewmean"] = jnp.nanmean(ms["eprewmean"])
+        metrics["episodes"] = jnp.sum(ms["episodes"])
+        return state, metrics
+
+    step_jit = jax.jit(step_block, donate_argnums=(0,))
     t0 = time.perf_counter()
-    for update in range(start_update + 1, total_updates + 1):
+    for block_end in range(start_update + upj, total_updates + 1, upj):
         state, metrics = step_jit(state)
-        if logger is not None and update % log_interval == 0:
+        if logger is not None and (block_end // upj) % max(
+                log_interval // upj, 1) == 0:
             m = jax.device_get(metrics)
-            logger.logkv("nupdates", update)
-            logger.logkv("total_timesteps", update * nbatch * fpstep)
+            logger.logkv("nupdates", block_end)
+            logger.logkv("total_timesteps", block_end * nbatch * fpstep)
             logger.logkv("fps",
-                         int((update - start_update) * nbatch * fpstep /
+                         int((block_end - start_update) * nbatch * fpstep /
                              (time.perf_counter() - t0)))
             for k, v in m.items():
                 logger.logkv(k, float(v))
             logger.dumpkvs()
-        ckpt.maybe_save(state, update)
+        ckpt.maybe_save(state, block_end)
     jax.block_until_ready(state.params)
     if save_path is not None:
         save_params(save_path, state.params)
