@@ -47,7 +47,7 @@ class PipelineState:
 def make_rl_env(game_name: str, num_envs: int, config=None, skip: int = 4,
                 frame_size: int = 84, frame_stack: int = 4,
                 episodic_life: bool = True, clip_rewards: bool = True,
-                use_pallas: str | bool = "auto"):
+                use_pallas: str | bool = "auto", inkernel_warp: bool = False):
     """Returns BatchedEnvFns-like (reset, step) with DeepMind preprocessing.
 
     step(state, actions) -> (state, obs[N,84,84,k], reward, done, info)
@@ -83,17 +83,23 @@ def make_rl_env(game_name: str, num_envs: int, config=None, skip: int = 4,
                                rp.make_si_gray_maxpool_renderer),
         }[game_name]
         render_gray = factory(cfg, interpret=not on_tpu)
-        # both max-pool frames composed in ONE kernel sweep; the warp
-        # stays OUTSIDE the kernel — one big batched einsum uses the MXU
-        # far better than per-env [84,H]@[H,W] matmuls in each program
-        # (measured: in-kernel warp_to=84 is ~8% slower end-to-end)
-        render_max = factory2(cfg, interpret=not on_tpu)
 
         def warp(frames):
             return rp.warp_matmul(frames, frame_size)
 
-        def render_max_warp(g1, g2):
-            return warp(render_max(g1, g2))
+        if inkernel_warp:
+            # warp inside the kernel: only [84, 84] leaves VMEM
+            render_max_warp = factory2(cfg, interpret=not on_tpu,
+                                       warp_to=frame_size)
+        else:
+            # both max-pool frames composed in ONE kernel sweep; the warp
+            # stays OUTSIDE the kernel — one big batched einsum uses the
+            # MXU far better than per-env [84,H]@[H,W] matmuls in each
+            # program (measured on breakout: warp_to=84 ~8% slower)
+            render_max = factory2(cfg, interpret=not on_tpu)
+
+            def render_max_warp(g1, g2):
+                return warp(render_max(g1, g2))
     else:
         def render_gray(game):
             return jax.vmap(lambda s: luma2d(module.render(cfg, s)))(game)
