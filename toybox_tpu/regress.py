@@ -23,7 +23,8 @@ MAX_FRAMES = 20_000   # per game safety cap
 
 
 def play_games(game: str, params, network: str, n_games: int,
-               score_cap: int = SCORE_CAP, seed: int = 0, chunk: int = 128):
+               score_cap: int = SCORE_CAP, seed: int = 0, chunk: int = 128,
+               alg: str = "ppo"):
     """Play games with the trained policy on the batched env; one env per
     game for reference-equivalent (serial-episode) semantics. Stepping is
     batched into jitted scan chunks: a per-step host loop over a remote
@@ -32,11 +33,11 @@ def play_games(game: str, params, network: str, n_games: int,
     import jax.numpy as jnp
 
     from toybox_tpu.envs.pipeline import make_rl_env
-    from toybox_tpu.rl.policies import build_policy
+    from toybox_tpu.rl.policies import build_eval_policy
 
     env = make_rl_env(game, n_games, episodic_life=False, clip_rewards=False)
-    _, p_init, p_step, _ = build_policy(env.obs_shape, env.num_actions,
-                                        network)
+    p_init, p_step = build_eval_policy(alg, env.obs_shape, env.num_actions,
+                                       network)
     if params is None:
         params = p_init(jax.random.PRNGKey(seed))
 
@@ -92,15 +93,16 @@ def main(argv=None):
         import jax
 
         from toybox_tpu.envs.pipeline import make_rl_env
-        from toybox_tpu.rl.policies import build_policy
+        from toybox_tpu.rl.policies import build_eval_policy
         from toybox_tpu.rl.ppo import load_params
         env = make_rl_env(game, 1)
-        _, p_init, _, _ = build_policy(env.obs_shape, env.num_actions,
-                                       network)
+        p_init, _ = build_eval_policy(args.alg, env.obs_shape,
+                                      env.num_actions, network)
         template = p_init(jax.random.PRNGKey(0))
         params = load_params(args.load_path, template)
 
-    scores = play_games(game, params, network, args.games, seed=args.seed)
+    scores = play_games(game, params, network, args.games, seed=args.seed,
+                        alg=args.alg)
     avg = float(np.mean(scores))
     print(f"scores: {scores.tolist()}")
     print(f"average: {avg:.2f} (threshold {args.threshold})")

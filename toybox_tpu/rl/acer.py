@@ -268,7 +268,7 @@ def learn(*, env=None, game="breakout", num_envs=16, total_timesteps=100_000,
           q_coef=0.5, ent_coef=0.01, c=10.0, trust_region=True, delta=1.0,
           alpha=0.99, replay_ratio=4, buffer_traj=50, log_interval=20,
           save_path=None, load_path=None, logger=None, network_kwargs=None,
-          **_ignored):
+          cycles_per_jit=1, **_ignored):
     env_fns = env if env is not None else make_rl_env(game, num_envs)
     init_fn, cycle = make_acer(
         env_fns, network=network, nsteps=nsteps, lr=lr, gamma=gamma,
@@ -278,15 +278,31 @@ def learn(*, env=None, game="breakout", num_envs=16, total_timesteps=100_000,
     state = init_fn(seed)
     if load_path is not None:
         state = state.replace(params=load_params(load_path, state.params))
-    cycle_jit = jax.jit(cycle, donate_argnums=(0,))
-    frames = env_fns.num_envs * nsteps * 4
+
+    # like a2c's updates_per_jit: ACER's natural regime is many small
+    # cycles; scan a block per dispatch so the remote-dispatch floor is
+    # paid once per block instead of once per cycle
+    upj = max(int(cycles_per_jit), 1)
+
+    def cycle_block(state):
+        def body(st, _):
+            return cycle(st)
+
+        state, ms = jax.lax.scan(body, state, None, length=upj)
+        metrics = jax.tree_util.tree_map(lambda x: x[-1], ms)
+        metrics["eprewmean"] = jnp.nanmean(ms["eprewmean"])
+        return state, metrics
+
+    cycle_jit = jax.jit(cycle_block, donate_argnums=(0,))
+    fpstep = getattr(env_fns, "frames_per_step", 1)
+    frames = env_fns.num_envs * nsteps * fpstep * upj
     ncycles = max(int(total_timesteps) // frames, 1)
     t0 = time.perf_counter()
     for i in range(1, ncycles + 1):
         state, metrics = cycle_jit(state)
-        if logger is not None and i % log_interval == 0:
+        if logger is not None and i % max(log_interval // upj, 1) == 0:
             m = jax.device_get(metrics)
-            logger.logkv("nupdates", i)
+            logger.logkv("nupdates", i * upj)
             logger.logkv("fps", int(i * frames / (time.perf_counter() - t0)))
             for k, v in m.items():
                 logger.logkv(k, float(v))

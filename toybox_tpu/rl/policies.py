@@ -76,3 +76,34 @@ def build_policy(obs_shape, action_space, network="cnn", **network_kwargs):
 def pd_from_logits(action_space, logits):
     _, pd_builder = make_pdtype(action_space)
     return pd_builder(logits)
+
+
+def build_eval_policy(alg, obs_shape, action_space, network,
+                      **network_kwargs):
+    """(init_fn, step_fn) able to LOAD a given algorithm's checkpoint for
+    evaluation (regress gate, --play). Most algorithms share the
+    PolicyWithValue pi+V template; ACER checkpoints carry a Q head
+    (estimate_q=True -> Dense(nact) value head), so their params only fit
+    the Q-head module."""
+    if alg == "acer":
+        n_pdparams, pd_builder = make_pdtype(action_space)
+        trunk = get_network_builder(network)(**network_kwargs)
+        module = PolicyWithValue(trunk=trunk, n_pdparams=n_pdparams,
+                                 estimate_q=True)
+
+        def init_fn(key):
+            dummy = jnp.zeros((1,) + tuple(obs_shape), jnp.uint8)
+            return module.init(key, dummy)
+
+        def step_fn(params, obs, key):
+            logits, q = module.apply(params, obs)
+            pd = pd_builder(logits)
+            actions = pd.sample(key)
+            value = jnp.sum(jax.nn.softmax(logits, -1) * q, axis=-1)
+            return actions, value, pd.neglogp(actions), logits
+
+        return init_fn, step_fn
+
+    _, init_fn, step_fn, _ = build_policy(obs_shape, action_space, network,
+                                          **network_kwargs)
+    return init_fn, step_fn

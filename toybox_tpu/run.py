@@ -156,14 +156,14 @@ def play(args, state, n_envs=8, max_chunks=40, chunk=64):
     import numpy as np
 
     from toybox_tpu.envs.pipeline import make_rl_env
-    from toybox_tpu.rl.policies import build_policy
+    from toybox_tpu.rl.policies import build_eval_policy
 
     game = env_id_to_game(args.env)
     env = make_rl_env(game, n_envs, episodic_life=False, clip_rewards=False)
     _, kwargs = get_learn_function(args.alg)
     network = args.network or kwargs.get("network", "cnn")
-    module, p_init, p_step, _ = build_policy(env.obs_shape, env.num_actions,
-                                             network)
+    _, p_step = build_eval_policy(args.alg, env.obs_shape, env.num_actions,
+                                  network)
     params = state.params
 
     @jax.jit
