@@ -85,6 +85,29 @@ def build_eval_policy(alg, obs_shape, action_space, network,
     PolicyWithValue pi+V template; ACER checkpoints carry a Q head
     (estimate_q=True -> Dense(nact) value head), so their params only fit
     the Q-head module."""
+    if alg in ("deepq", "dqn"):
+        from toybox_tpu.rl.dqn import QNetwork
+
+        trunk = get_network_builder(network)(**network_kwargs)
+        qnet = QNetwork(trunk=trunk, n_actions=action_space,
+                        dueling=network_kwargs.pop("dueling", True))
+
+        def init_fn(key):
+            dummy = jnp.zeros((1,) + tuple(obs_shape), jnp.uint8)
+            return qnet.init(key, dummy)
+
+        def step_fn(params, obs, key, eps=0.01):
+            q = qnet.apply(params, obs)
+            greedy = jnp.argmax(q, axis=-1)
+            ekey, akey = jax.random.split(key)
+            rand = jax.random.randint(akey, greedy.shape, 0, action_space)
+            explore = jax.random.uniform(ekey, greedy.shape) < eps
+            actions = jnp.where(explore, rand, greedy)
+            return actions, jnp.max(q, axis=-1), jnp.zeros(greedy.shape,
+                                                           jnp.float32), q
+
+        return init_fn, step_fn
+
     if alg == "acer":
         n_pdparams, pd_builder = make_pdtype(action_space)
         trunk = get_network_builder(network)(**network_kwargs)
