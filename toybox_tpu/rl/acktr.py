@@ -25,7 +25,9 @@ from flax import struct
 
 from toybox_tpu.envs.pipeline import make_rl_env
 from toybox_tpu.rl.distributions import CategoricalPd
-from toybox_tpu.rl.kfac import (KfacConv, KfacDense, kfac_precondition)
+from toybox_tpu.rl.kfac import (KfacConv, KfacDense, kfac_apply,
+                                kfac_factors, kfac_invert,
+                                kfac_inverse_shapes)
 from toybox_tpu.rl.ppo import load_params, save_params
 
 F32 = jnp.float32
@@ -70,6 +72,8 @@ class KfacCNNPolicy(nn.Module):
 class ACKTRState:
     params: Any          # includes 'params' and 'perturbations' collections
     opt_state: Any
+    kfac_stats: Any      # EMA Kronecker factors {layer: (A, S)}
+    kfac_inv: Any        # cached {layer: (Ainv, Sinv)} preconditioners
     env_state: Any
     key: jnp.ndarray
     update: jnp.ndarray
@@ -77,7 +81,8 @@ class ACKTRState:
 
 def make_acktr(env_fns, *, nsteps=20, lr=0.25, gamma=0.99, ent_coef=0.01,
                vf_coef=0.5, kfac_clip=0.001, damping=0.01,
-               max_grad_norm=0.5, hidden=512, total_updates=1):
+               max_grad_norm=0.5, hidden=512, total_updates=1,
+               invert_every=1, stats_decay=0.99):
     num_envs = env_fns.num_envs
     nact = env_fns.num_actions
     obs_shape = tuple(env_fns.obs_shape)
@@ -97,6 +102,8 @@ def make_acktr(env_fns, *, nsteps=20, lr=0.25, gamma=0.99, ent_coef=0.01,
                  .astype(jnp.uint32))
         env_state, _ = env_fns.reset(seeds)
         st = ACKTRState(params=variables, opt_state=tx.init(variables),
+                        kfac_stats=kfac_inverse_shapes(variables, meta),
+                        kfac_inv=kfac_inverse_shapes(variables, meta),
                         env_state=env_state, key=key,
                         update=jnp.asarray(0, jnp.int32))
         return jax.tree_util.tree_map(jnp.array, st)
@@ -154,23 +161,38 @@ def make_acktr(env_fns, *, nsteps=20, lr=0.25, gamma=0.99, ent_coef=0.01,
         (loss, (inter, pg_loss, vf_loss, entropy)), raw_grads = \
             jax.value_and_grad(loss_and_inter, has_aux=True)(state.params)
 
-        # K-FAC preconditioning of the layer gradients
-        grads = kfac_precondition(raw_grads, inter,
-                                  raw_grads["perturbations"], meta,
-                                  damping=damping)
+        # K-FAC preconditioning: per-batch factors ride the same backward
+        # pass (cheap MXU matmuls) and accumulate into bias-corrected EMA
+        # stats — a 640-sample batch alone is rank-deficient for the
+        # 3137-dim fc0 factor; the EMA gives it an effective sample count
+        # of 1/(1-decay) batches (the reference kfac.py's running stats).
+        # The O(n^3) inverses refresh every `invert_every` updates and are
+        # carried in state (the reference's periodic async inverse ops).
+        factors = kfac_factors(inter, raw_grads["perturbations"], meta)
+        kfac_stats = jax.tree_util.tree_map(
+            lambda ema, f: stats_decay * ema + (1.0 - stats_decay) * f,
+            state.kfac_stats, factors)
+        corr = 1.0 - stats_decay ** (state.update.astype(F32) + 1.0)
+        stats_hat = jax.tree_util.tree_map(lambda s: s / corr, kfac_stats)
+        kfac_inv = jax.lax.cond(
+            state.update % invert_every == 0,
+            lambda s: kfac_invert(s, damping),
+            lambda _: state.kfac_inv,
+            stats_hat)
+        grads = kfac_apply(raw_grads, kfac_inv, meta)
         # zero the perturbation "grads" (they are taps, not parameters)
         grads = {**grads, "perturbations": jax.tree_util.tree_map(
             jnp.zeros_like, grads["perturbations"])}
 
         # trust region: for a natural-gradient step v = F^-1 g the Fisher
-        # norm is v^T F v = v . g — clip the lr so lr^2 vFv <= kfac_clip
-        # (the reference kfac.py's clipkl mechanism)
+        # norm is v^T F v = v . g — scale the step u = coeff * v so that
+        # u^T F u <= kfac_clip, i.e. coeff = min(lr, sqrt(kfac_clip/vFv))
+        # (the reference kfac.py's clip_kl scaling, acktr_disc.py wiring)
         vfv = sum(jnp.sum(p * r) for p, r in zip(
             jax.tree_util.tree_leaves(grads["params"]),
             jax.tree_util.tree_leaves(raw_grads["params"])))
         vfv = jnp.maximum(vfv, 1e-12)
-        coeff = jnp.minimum(lrnow,
-                            jnp.sqrt(kfac_clip / (lrnow * vfv)))
+        coeff = jnp.minimum(lrnow, jnp.sqrt(kfac_clip / vfv))
 
         # optax.sgd(1.0) emits ready-to-apply (negated) momentum updates;
         # scale them by the trust-region-clipped step size
@@ -189,6 +211,7 @@ def make_acktr(env_fns, *, nsteps=20, lr=0.25, gamma=0.99, ent_coef=0.01,
                            jnp.nansum(jnp.where(done_eps, ep_ret, 0.0))
                            / n_eps, jnp.nan))
         return ACKTRState(params=params, opt_state=opt_state,
+                          kfac_stats=kfac_stats, kfac_inv=kfac_inv,
                           env_state=env_state, key=key,
                           update=state.update + 1), metrics
 
@@ -198,29 +221,54 @@ def make_acktr(env_fns, *, nsteps=20, lr=0.25, gamma=0.99, ent_coef=0.01,
 def learn(*, env=None, game="breakout", num_envs=16, total_timesteps=100_000,
           seed=0, nsteps=20, lr=0.25, gamma=0.99, ent_coef=0.01,
           vf_coef=0.5, kfac_clip=0.001, log_interval=20, save_path=None,
-          load_path=None, logger=None, **_ignored):
+          load_path=None, logger=None, updates_per_jit=1, invert_every=1,
+          stats_decay=0.99, checkpoint_path=None, checkpoint_freq=500,
+          **_ignored):
+    from toybox_tpu.utils.checkpoint import Checkpointer
+
     env_fns = env if env is not None else make_rl_env(game, num_envs)
     nbatch = env_fns.num_envs * nsteps
     fpstep = getattr(env_fns, "frames_per_step", 1)  # actual frameskip
     total_updates = max(int(total_timesteps) // (nbatch * fpstep), 1)
     init_fn, train_step, _ = make_acktr(
         env_fns, nsteps=nsteps, lr=lr, gamma=gamma, ent_coef=ent_coef,
-        vf_coef=vf_coef, kfac_clip=kfac_clip, total_updates=total_updates)
+        vf_coef=vf_coef, kfac_clip=kfac_clip, total_updates=total_updates,
+        invert_every=invert_every, stats_decay=stats_decay)
     state = init_fn(seed)
     if load_path is not None:
         state = state.replace(params=load_params(load_path, state.params))
-    step_jit = jax.jit(train_step, donate_argnums=(0,))
+    ckpt = Checkpointer(checkpoint_path, checkpoint_freq)
+    state = ckpt.restore(state)
+    start_update = int(state.update)
+
+    # ACKTR is an A2C-regime algorithm (many small-batch updates); a
+    # per-update host loop over a remote device pays the dispatch-latency
+    # floor per update, so scan a block of updates per dispatch.
+    upj = max(int(updates_per_jit), 1)
+
+    def step_block(state):
+        state, ms = jax.lax.scan(lambda st, _: train_step(st), state, None,
+                                 length=upj)
+        metrics = jax.tree_util.tree_map(lambda x: x[-1], ms)
+        metrics["eprewmean"] = jnp.nanmean(ms["eprewmean"])
+        return state, metrics
+
+    step_jit = jax.jit(step_block, donate_argnums=(0,))
     t0 = time.perf_counter()
-    for update in range(1, total_updates + 1):
+    for block_end in range(start_update + upj, total_updates + 1, upj):
         state, metrics = step_jit(state)
-        if logger is not None and update % log_interval == 0:
+        if logger is not None and (block_end // upj) % max(
+                log_interval // upj, 1) == 0:
             m = jax.device_get(metrics)
-            logger.logkv("nupdates", update)
-            logger.logkv("fps", int(update * nbatch * fpstep /
-                                    (time.perf_counter() - t0)))
+            logger.logkv("nupdates", block_end)
+            logger.logkv("total_timesteps", block_end * nbatch * fpstep)
+            logger.logkv("fps",
+                         int((block_end - start_update) * nbatch * fpstep /
+                             (time.perf_counter() - t0)))
             for k, v in m.items():
                 logger.logkv(k, float(v))
             logger.dumpkvs()
+        ckpt.maybe_save(state, block_end)
     jax.block_until_ready(state.params)
     if save_path is not None:
         save_params(save_path, state.params)

@@ -85,17 +85,6 @@ def _damped_inv(M, damping):
     return jnp.linalg.inv(M + damping * jnp.eye(d, dtype=M.dtype))
 
 
-def _precondition_dense(A, S, dW, db, damping):
-    """Returns preconditioned (dW [in, out], db [out])."""
-    pi = jnp.sqrt((jnp.trace(A) / A.shape[0])
-                  / jnp.maximum(jnp.trace(S) / S.shape[0], 1e-8))
-    Ainv = _damped_inv(A, damping * pi)
-    Sinv = _damped_inv(S, damping / jnp.maximum(pi, 1e-8))
-    G = jnp.concatenate([dW, db[None, :]], axis=0)   # [in+1, out]
-    P = Ainv @ G @ Sinv
-    return P[:-1], P[-1]
-
-
 def _get(tree, path):
     for p in path:
         tree = tree[p]
@@ -109,36 +98,86 @@ def _set(tree, path, value):
     return {**tree, path[0]: _set(tree[path[0]], path[1:], value)}
 
 
-def kfac_precondition(grads, intermediates, perturb_grads, layer_meta,
-                      damping=0.01):
-    """Return grads with every Kfac* layer's kernel/bias gradient replaced
-    by its Kronecker-preconditioned version.
+def kfac_factors(intermediates, perturb_grads, layer_meta):
+    """Per-layer Kronecker factors {name: (A, S)} from one backward pass.
 
-    - grads: the full gradient pytree ({'params': ..., 'perturbations': ...})
     - intermediates: the 'kfac' collection from apply(..., mutable=['kfac'])
     - perturb_grads: grads['perturbations'] (pre-activation grads)
     - layer_meta: {layer_name: ("dense",) | ("conv", kernel, stride)};
       layer_name is the '/'-joined module path of the Kfac* module.
-    Non-KFAC parameters keep their raw gradients.
     """
-    g_params = grads["params"]
+    out = {}
     for name, meta in layer_meta.items():
         path = tuple(name.split("/"))
         a = _get(intermediates["kfac"], path)["a"][0]
         g = _get(perturb_grads, path)["g"]
-        layer_g = _get(g_params, path)["inner"]
-        dW, db = layer_g["kernel"], layer_g["bias"]
         if meta[0] == "dense":
             A, S, _ = _factors_dense(a, g)
-            pW, pb = _precondition_dense(A, S, dW, db, damping)
         else:
-            _, kernel, stride = meta
-            A, S, _ = _factors_conv(a, g, kernel, stride)
+            A, S, _ = _factors_conv(a, g, meta[1], meta[2])
+        out[name] = (A, S)
+    return out
+
+
+def kfac_invert(factors, damping=0.01):
+    """Damped inverses {name: (Ainv, Sinv)} with the trace-balanced pi
+    split of the damping (Martens & Grosse; the reference kfac.py's
+    fac/pi scaling). The O(n^3) step — the reference runs its inverse ops
+    every few iterations, not every update, and so should callers."""
+    out = {}
+    for name, (A, S) in factors.items():
+        pi = jnp.sqrt((jnp.trace(A) / A.shape[0])
+                      / jnp.maximum(jnp.trace(S) / S.shape[0], 1e-8))
+        out[name] = (_damped_inv(A, damping * pi),
+                     _damped_inv(S, damping / jnp.maximum(pi, 1e-8)))
+    return out
+
+
+def kfac_apply(grads, inverses, layer_meta):
+    """grads with every Kfac* layer's kernel/bias gradient replaced by
+    Ainv @ G @ Sinv. Non-KFAC parameters keep their raw gradients."""
+    g_params = grads["params"]
+    for name, meta in layer_meta.items():
+        path = tuple(name.split("/"))
+        layer_g = _get(g_params, path)["inner"]
+        dW, db = layer_g["kernel"], layer_g["bias"]
+        Ainv, Sinv = inverses[name]
+        if meta[0] == "dense":
+            G = jnp.concatenate([dW, db[None, :]], axis=0)
+            P = Ainv @ G @ Sinv
+            pW, pb = P[:-1], P[-1]
+        else:
             kshape = dW.shape                       # [k, k, cin, cout]
-            pW2, pb = _precondition_dense(A, S,
-                                          dW.reshape(-1, kshape[-1]), db,
-                                          damping)
-            pW = pW2.reshape(kshape)
+            G = jnp.concatenate([dW.reshape(-1, kshape[-1]), db[None, :]],
+                                axis=0)
+            P = Ainv @ G @ Sinv
+            pW, pb = P[:-1].reshape(kshape), P[-1]
         g_params = _set(g_params, path + ("inner",),
                         {"kernel": pW, "bias": pb})
     return {**grads, "params": g_params}
+
+
+def kfac_inverse_shapes(params, layer_meta):
+    """Zero-initialized {name: (Ainv, Sinv)} matching kfac_invert's output
+    shapes — the state placeholder before the first refresh."""
+    out = {}
+    for name, meta in layer_meta.items():
+        path = tuple(name.split("/"))
+        layer_p = _get(params["params"], path)["inner"]
+        kshape = layer_p["kernel"].shape
+        if meta[0] == "dense":
+            din, dout = kshape[0] + 1, kshape[1]
+        else:
+            din = kshape[0] * kshape[1] * kshape[2] + 1
+            dout = kshape[3]
+        out[name] = (jnp.zeros((din, din), F32), jnp.zeros((dout, dout), F32))
+    return out
+
+
+def kfac_precondition(grads, intermediates, perturb_grads, layer_meta,
+                      damping=0.01):
+    """factors -> invert -> apply in one call (inverts every call; for
+    the cheap periodic-inversion path carry kfac_invert's output in the
+    training state and call kfac_apply)."""
+    factors = kfac_factors(intermediates, perturb_grads, layer_meta)
+    return kfac_apply(grads, kfac_invert(factors, damping), layer_meta)

@@ -108,6 +108,27 @@ def build_eval_policy(alg, obs_shape, action_space, network,
 
         return init_fn, step_fn
 
+    if alg == "acktr":
+        # ACKTR checkpoints are KfacCNNPolicy variable dicts (a 'params'
+        # collection of Kfac*-wrapped layers plus a 'perturbations'
+        # collection of zero-parameter gradient taps).
+        from toybox_tpu.rl.acktr import KfacCNNPolicy
+
+        net = KfacCNNPolicy(n_actions=action_space)
+        _, pd_builder = make_pdtype(action_space)
+
+        def init_fn(key):
+            dummy = jnp.zeros((1,) + tuple(obs_shape), jnp.uint8)
+            return net.init(key, dummy)
+
+        def step_fn(params, obs, key):
+            logits, value = net.apply(params, obs)
+            pd = pd_builder(logits)
+            actions = pd.sample(key)
+            return actions, value, pd.neglogp(actions), logits
+
+        return init_fn, step_fn
+
     if alg == "acer":
         n_pdparams, pd_builder = make_pdtype(action_space)
         trunk = get_network_builder(network)(**network_kwargs)
