@@ -81,6 +81,12 @@ def common_arg_parser():
     parser.add_argument("--load_path", type=str, default=None)
     parser.add_argument("--log_path", type=str, default=None)
     parser.add_argument("--play", action="store_true", default=False)
+    parser.add_argument(
+        "--multi_host", action="store_true", default=False,
+        help="multi-host pod run: jax.distributed.initialize() process "
+             "discovery, per-process env-seed blocks, rank-0-only logging "
+             "(replaces the reference's mpi_fork/rank plumbing, "
+             "run.py:186-191 + cmd_util.py:28-33)")
     return parser
 
 
@@ -129,6 +135,20 @@ def get_learn_function(alg):
 
 
 def train(args, extra_kwargs):
+    seed = args.seed
+    rank0 = True
+    if args.multi_host:
+        # initialize BEFORE importing toybox_tpu: the game modules build
+        # jnp constants at import time, which would initialize the XLA
+        # backend and make jax.distributed.initialize impossible.
+        import jax
+
+        jax.distributed.initialize()   # auto-discovery on TPU VMs
+        from toybox_tpu.parallel.mesh import process_seed_offset
+
+        seed = process_seed_offset(seed, args.num_envs)
+        rank0 = jax.process_index() == 0
+
     from toybox_tpu.utils import logger as tb_logger
 
     game = env_id_to_game(args.env)
@@ -137,10 +157,13 @@ def train(args, extra_kwargs):
     if args.network:
         kwargs["network"] = args.network
 
-    lg = tb_logger.configure(dir=args.log_path)
+    # rank-0-only logging (reference run.py:186-191)
+    lg = tb_logger.configure(dir=args.log_path if rank0 else None,
+                             format_strs=None if rank0 else [])
     state = learn(game=game, num_envs=args.num_envs,
-                  total_timesteps=int(args.num_timesteps), seed=args.seed,
-                  save_path=args.save_path, load_path=args.load_path,
+                  total_timesteps=int(args.num_timesteps), seed=seed,
+                  save_path=args.save_path if rank0 else None,
+                  load_path=args.load_path,
                   logger=tb_logger, **kwargs)
     return state, lg
 
