@@ -70,9 +70,10 @@ def test_dqn_learns_identity():
 def test_trpo_learns_identity():
     from toybox_tpu.rl.trpo import make_trpo
     env = make_discrete_identity_env(16, dim=DIM)
-    init_fn, step = make_trpo(env, network="mlp", nsteps=32, max_kl=0.01,
-                              vf_stepsize=1e-2, vf_iters=3,
-                              network_kwargs=dict(num_hidden=32))
+    init_fn, step, _, _ = make_trpo(env, network="mlp", nsteps=32,
+                                    max_kl=0.01, vf_stepsize=1e-2,
+                                    vf_iters=3,
+                                    network_kwargs=dict(num_hidden=32))
     r = mean_reward_after((init_fn, step), 40, env)
     assert r > 0.6, f"trpo failed to learn identity: {r}"
 

@@ -158,8 +158,12 @@ def make_trpo(env_fns, *, network="cnn_small", nsteps=512, gamma=0.99,
         logits, _ = pi_mod.apply(params, obs)
         return pd_from_logits(env_fns.num_actions, logits), logits
 
-    def train_step(state: TRPOState):
-        # --- rollout ------------------------------------------------------
+    # The step is split into TWO jit programs (rollout+GAE, then the
+    # CG/line-search update): the fused graph's double-grad
+    # Fisher-vector products on top of the env pipeline make one huge
+    # XLA program that is needlessly hard on the compiler; the split
+    # rollout is the same shape as every other algorithm's.
+    def rollout_step(state: TRPOState):
         def body(carry, _):
             env_state, key = carry
             obs = env_state.frames
@@ -199,6 +203,27 @@ def make_trpo(env_fns, *, network="cnn_small", nsteps=512, gamma=0.99,
         fnlp_old = fl(old_neglogps)
         fret = fl(returns)
 
+        done_eps = ~jnp.isnan(ep_ret)
+        n_eps = jnp.sum(done_eps.astype(F32))
+        eprewmean = jnp.where(
+            n_eps > 0,
+            jnp.nansum(jnp.where(done_eps, ep_ret, 0.0)) / n_eps, jnp.nan)
+        batch = dict(fobs=fobs, facts=facts, fadv=fadv,
+                     fnlp_old=fnlp_old, fret=fret)
+        roll_metrics = dict(eprewmean=eprewmean,
+                            mean_reward=jnp.mean(rewards))
+        state = TRPOState(pi_params=state.pi_params,
+                          vf_params=state.vf_params,
+                          vf_opt_state=state.vf_opt_state,
+                          env_state=env_state, key=key,
+                          update=state.update)
+        return state, batch, roll_metrics
+
+    def update_step(state: TRPOState, batch):
+        fobs, facts = batch["fobs"], batch["facts"]
+        fadv, fnlp_old, fret = (batch["fadv"], batch["fnlp_old"],
+                                batch["fret"])
+
         pi_params, tr_metrics = trust_region_update(
             pi_mod, env_fns.num_actions, state.pi_params,
             fobs, facts, fadv, fnlp_old,
@@ -223,25 +248,24 @@ def make_trpo(env_fns, *, network="cnn_small", nsteps=512, gamma=0.99,
             length=vf_iters)
 
         new_pd, _ = _pd(pi_params, fobs)
-        done_eps = ~jnp.isnan(ep_ret)
-        n_eps = jnp.sum(done_eps.astype(F32))
         metrics = {
             "surrogate_gain": tr_metrics["surrogate_gain"],
             "kl": tr_metrics["kl"],
             "accepted": accepted,
             "vf_loss": vf_losses[-1],
             "entropy": jnp.mean(new_pd.entropy()),
-            "eprewmean": jnp.where(
-                n_eps > 0,
-                jnp.nansum(jnp.where(done_eps, ep_ret, 0.0)) / n_eps,
-                jnp.nan),
-            "mean_reward": jnp.mean(rewards),
         }
         return TRPOState(pi_params=pi_params, vf_params=vf_params,
-                         vf_opt_state=vf_opt_state, env_state=env_state,
-                         key=key, update=state.update + 1), metrics
+                         vf_opt_state=vf_opt_state,
+                         env_state=state.env_state,
+                         key=state.key, update=state.update + 1), metrics
 
-    return init_fn, train_step
+    def train_step(state: TRPOState):
+        state, batch, roll_metrics = rollout_step(state)
+        state, metrics = update_step(state, batch)
+        return state, {**metrics, **roll_metrics}
+
+    return init_fn, train_step, rollout_step, update_step
 
 
 def learn(*, env=None, game="breakout", num_envs=8, total_timesteps=100_000,
@@ -254,7 +278,7 @@ def learn(*, env=None, game="breakout", num_envs=8, total_timesteps=100_000,
     fpstep = getattr(env_fns, "frames_per_step", 1)  # actual frameskip
     total_updates = max(int(total_timesteps) // (nbatch * fpstep), 1)
 
-    init_fn, train_step = make_trpo(
+    init_fn, _, rollout_step, update_step = make_trpo(
         env_fns, network=network, nsteps=nsteps, gamma=gamma, lam=lam,
         max_kl=max_kl, cg_iters=cg_iters, cg_damping=cg_damping,
         vf_stepsize=vf_stepsize, vf_iters=vf_iters, ent_coef=ent_coef,
@@ -265,10 +289,13 @@ def learn(*, env=None, game="breakout", num_envs=8, total_timesteps=100_000,
         state = state.replace(
             pi_params=load_params(load_path, state.pi_params))
 
-    step_jit = jax.jit(train_step, donate_argnums=(0,))
+    rollout_jit = jax.jit(rollout_step, donate_argnums=(0,))
+    update_jit = jax.jit(update_step, donate_argnums=(0, 1))
     t0 = time.perf_counter()
     for update in range(1, total_updates + 1):
-        state, metrics = step_jit(state)
+        state, batch, roll_metrics = rollout_jit(state)
+        state, metrics = update_jit(state, batch)
+        metrics = {**metrics, **roll_metrics}
         if logger is not None and update % log_interval == 0:
             m = jax.device_get(metrics)
             logger.logkv("nupdates", update)
