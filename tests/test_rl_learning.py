@@ -175,6 +175,18 @@ def test_acktr_learns_identity():
     assert r > 0.7, f"acktr failed to learn identity: {r}"
 
 
+def test_acktr_learns_with_periodic_inversion():
+    """The cached-inverse path (invert_every > 1, the reference kfac's
+    async inverse ops) must still precondition well enough to learn."""
+    from toybox_tpu.rl.acktr import make_acktr
+    env = make_discrete_identity_env(16, dim=DIM)
+    init_fn, step, _ = make_acktr(env, nsteps=8, lr=0.2, gamma=0.1,
+                                  hidden=32, kfac_clip=0.01,
+                                  total_updates=3000, invert_every=8)
+    r = mean_reward_after((init_fn, step), 200, env)
+    assert r > 0.7, f"acktr (invert_every=8) failed to learn: {r}"
+
+
 def test_acktr_conv_step_runs():
     """Conv K-FAC path compiles and produces finite metrics on images."""
     from toybox_tpu.envs.pipeline import make_rl_env
