@@ -28,6 +28,74 @@ def test_vec_env_dummy_equals_batched():
     dummy.close()
 
 
+class _CountingEnv:
+    """Tiny pure-python gymnasium-API env for executor-parity tests
+    (deterministic; episode of 5 steps; reward = action)."""
+
+    def __init__(self):
+        from gymnasium import spaces
+
+        self.observation_space = spaces.Box(0, 255, shape=(3,),
+                                            dtype=np.float32)
+        self.action_space = spaces.Discrete(4)
+        self._t = 0
+        self._seed = 0
+
+    def reset(self, seed=None):
+        if seed is not None:
+            self._seed = seed
+        self._t = 0
+        return self._obs(), {}
+
+    def _obs(self):
+        return np.asarray([self._t, self._seed, 42.0], np.float32)
+
+    def step(self, action):
+        self._t += 1
+        return (self._obs(), float(action), self._t >= 5, False,
+                {"t": self._t})
+
+    def render(self):
+        return self._obs()
+
+    def close(self):
+        pass
+
+
+def test_vec_env_dummy_subproc_shmem_consistency():
+    """Dummy == Subproc == Shmem trajectories — the reference's
+    test_vec_env.py assert_venvs_equal contract, including auto-reset and
+    terminal_observation."""
+    from toybox_tpu.envs.vec_env import (DummyVecEnv, ShmemVecEnv,
+                                         SubprocVecEnv)
+
+    n = 3
+    fns = [lambda: _CountingEnv() for _ in range(n)]
+    venvs = [DummyVecEnv(fns), SubprocVecEnv(fns), ShmemVecEnv(fns)]
+    try:
+        obs = [v.reset(seed=7) for v in venvs]
+        for o in obs[1:]:
+            np.testing.assert_array_equal(obs[0], o)
+        rng = np.random.RandomState(0)
+        for t in range(12):   # crosses the episode boundary (auto-reset)
+            actions = rng.randint(0, 4, size=n)
+            results = [v.step(actions) for v in venvs]
+            o0, r0, d0, i0 = results[0]
+            for o, r, d, infos in results[1:]:
+                np.testing.assert_array_equal(o0, o)
+                np.testing.assert_array_equal(r0, r)
+                np.testing.assert_array_equal(d0, d)
+                for a, b in zip(i0, infos):
+                    assert a.get("t") == b.get("t")
+                    if "terminal_observation" in a:
+                        np.testing.assert_array_equal(
+                            a["terminal_observation"],
+                            b["terminal_observation"])
+    finally:
+        for v in venvs:
+            v.close()
+
+
 def test_vec_frame_stack_and_monitor():
     pytest.importorskip("gymnasium")
     from toybox_tpu.envs.vec_env import (BatchedVecEnv, VecFrameStack,

@@ -5,9 +5,11 @@ The reference scales env throughput with one OS process per env
 entire mechanism is replaced by the device-resident batched env
 (toybox_tpu.envs.batched) — ``BatchedVecEnv`` here exposes it through the
 same VecEnv interface so reference-style training code ports unchanged.
-``DummyVecEnv`` (serial python loop over gym envs) is kept for parity
-testing: dummy == batched is the reference's own vec-env consistency
-contract (common/vec_env/test_vec_env.py).
+``SubprocVecEnv``/``ShmemVecEnv`` are also provided literally for
+host-side envs that hold their own per-process state (real ALE,
+SampleEnvs mixing); ``DummyVecEnv`` is the serial loop. Dummy == Subproc
+== Shmem == Batched is the reference's own vec-env consistency contract
+(common/vec_env/test_vec_env.py), asserted in tests/test_harnesses.py.
 
 Also: VecEnvWrapper, VecFrameStack, VecNormalize (running mean/std
 normalization), VecMonitor, CloudpickleWrapper.
@@ -175,6 +177,228 @@ class DummyVecEnv(VecEnv):
     def close_extras(self):
         for env in self.envs:
             env.close()
+
+
+def _subproc_worker(pipe, parent_pipe, env_fn_wrapper):
+    """Worker loop: one env per process, auto-reset on done (reference
+    subproc_vec_env.py:5-31). Commands arrive as (cmd, data) tuples."""
+    parent_pipe.close()
+    env = env_fn_wrapper()
+    try:
+        while True:
+            cmd, data = pipe.recv()
+            if cmd == "step":
+                o, r, term, trunc, info = env.step(data)
+                done = bool(term or trunc)
+                if done:
+                    info = dict(info)
+                    info["terminal_observation"] = o
+                    o, _ = env.reset()
+                pipe.send((o, r, done, info))
+            elif cmd == "reset":
+                o, _ = env.reset(seed=data)
+                pipe.send(o)
+            elif cmd == "render":
+                pipe.send(env.render())
+            elif cmd == "get_spaces":
+                pipe.send((env.observation_space, env.action_space))
+            elif cmd == "close":
+                pipe.send(None)
+                break
+    except KeyboardInterrupt:
+        pass
+    finally:
+        env.close()
+
+
+class SubprocVecEnv(VecEnv):
+    """One OS process per env, commands over pipes — the reference's
+    process-parallel executor (subproc_vec_env.py), for HOST-SIDE envs
+    (real ALE, SampleEnvs mixing — python/numpy state). Device-resident
+    toybox envs must use BatchedVecEnv instead: stepping N envs there is
+    one jitted program, not N round-trips — and a jitted env cannot run
+    in a forked worker at all (jax is multithreaded; fork inherits held
+    locks and deadlocks). context='fork' matches the reference's
+    platform default and keeps worker startup free of a per-process
+    device re-initialization; pass context='spawn' for env fns that
+    must (re)initialize their own runtime."""
+
+    def __init__(self, env_fns, context="fork"):
+        import multiprocessing as mp
+
+        ctx = mp.get_context(context)
+        self.waiting = False
+        n = len(env_fns)
+        self.remotes, work_remotes = zip(*[ctx.Pipe() for _ in range(n)])
+        self.procs = []
+        for work_remote, remote, fn in zip(work_remotes, self.remotes,
+                                           env_fns):
+            p = ctx.Process(target=_subproc_worker,
+                            args=(work_remote, remote,
+                                  CloudpickleWrapper(fn)),
+                            daemon=True)
+            p.start()
+            self.procs.append(p)
+            work_remote.close()
+        self.remotes[0].send(("get_spaces", None))
+        observation_space, action_space = self.remotes[0].recv()
+        super().__init__(n, observation_space, action_space)
+
+    def reset(self, seed=None):
+        for i, remote in enumerate(self.remotes):
+            remote.send(("reset", None if seed is None else seed + i))
+        return np.stack([remote.recv() for remote in self.remotes])
+
+    def step_async(self, actions):
+        if self.waiting:
+            raise AlreadySteppingError
+        for remote, a in zip(self.remotes, actions):
+            remote.send(("step", int(a)))
+        self.waiting = True
+
+    def step_wait(self):
+        if not self.waiting:
+            raise NotSteppingError
+        results = [remote.recv() for remote in self.remotes]
+        self.waiting = False
+        obs, rews, dones, infos = zip(*results)
+        return (np.stack(obs), np.asarray(rews, np.float32),
+                np.asarray(dones, bool), list(infos))
+
+    def get_images(self):
+        for remote in self.remotes:
+            remote.send(("render", None))
+        return [remote.recv() for remote in self.remotes]
+
+    def close_extras(self):
+        if self.waiting:
+            for remote in self.remotes:
+                remote.recv()
+        for remote in self.remotes:
+            remote.send(("close", None))
+        for remote in self.remotes:
+            remote.recv()
+        for p in self.procs:
+            p.join()
+
+
+def _shmem_worker(pipe, parent_pipe, env_fn_wrapper, buf, shape, dtype):
+    """Like _subproc_worker but observations are written into a shared
+    buffer; the pipe carries only (reward, done, info)
+    (reference shmem_vec_env.py)."""
+    parent_pipe.close()
+    env = env_fn_wrapper()
+    arr = np.frombuffer(buf.get_obj(), dtype=dtype).reshape(shape)
+
+    def put(o):
+        arr[...] = o
+
+    try:
+        while True:
+            cmd, data = pipe.recv()
+            if cmd == "step":
+                o, r, term, trunc, info = env.step(data)
+                done = bool(term or trunc)
+                if done:
+                    info = dict(info)
+                    info["terminal_observation"] = o
+                    o, _ = env.reset()
+                put(o)
+                pipe.send((r, done, info))
+            elif cmd == "reset":
+                o, _ = env.reset(seed=data)
+                put(o)
+                pipe.send(None)
+            elif cmd == "get_spaces":
+                pipe.send((env.observation_space, env.action_space))
+            elif cmd == "close":
+                pipe.send(None)
+                break
+    except KeyboardInterrupt:
+        pass
+    finally:
+        env.close()
+
+
+class ShmemVecEnv(VecEnv):
+    """Process-parallel with zero-copy observations: per-env shared
+    ``multiprocessing.Array`` buffers keyed by the obs space's dtype;
+    pipes carry only control (reference shmem_vec_env.py:13-43)."""
+
+    _CTYPES = {np.dtype(np.uint8): "B", np.dtype(np.float32): "f",
+               np.dtype(np.float64): "d", np.dtype(np.int32): "i",
+               np.dtype(np.int64): "l", np.dtype(bool): "B"}
+
+    def __init__(self, env_fns, context="fork"):
+        import multiprocessing as mp
+
+        ctx = mp.get_context(context)
+        # probe spaces once in-parent (reference keeps a dummy env for it)
+        probe = env_fns[0]()
+        observation_space = probe.observation_space
+        action_space = probe.action_space
+        probe.close()
+        shape = observation_space.shape
+        dtype = np.dtype(observation_space.dtype)
+        n = len(env_fns)
+        super().__init__(n, observation_space, action_space)
+
+        self.obs_bufs = [
+            ctx.Array(self._CTYPES[dtype], int(np.prod(shape)))
+            for _ in range(n)]
+        self._obs_views = [
+            np.frombuffer(b.get_obj(), dtype=dtype).reshape(shape)
+            for b in self.obs_bufs]
+        self.waiting = False
+        self.remotes, work_remotes = zip(*[ctx.Pipe() for _ in range(n)])
+        self.procs = []
+        for work_remote, remote, fn, buf in zip(
+                work_remotes, self.remotes, env_fns, self.obs_bufs):
+            p = ctx.Process(target=_shmem_worker,
+                            args=(work_remote, remote,
+                                  CloudpickleWrapper(fn), buf, shape,
+                                  dtype),
+                            daemon=True)
+            p.start()
+            self.procs.append(p)
+            work_remote.close()
+
+    def _gather_obs(self):
+        return np.stack([v.copy() for v in self._obs_views])
+
+    def reset(self, seed=None):
+        for i, remote in enumerate(self.remotes):
+            remote.send(("reset", None if seed is None else seed + i))
+        for remote in self.remotes:
+            remote.recv()
+        return self._gather_obs()
+
+    def step_async(self, actions):
+        if self.waiting:
+            raise AlreadySteppingError
+        for remote, a in zip(self.remotes, actions):
+            remote.send(("step", int(a)))
+        self.waiting = True
+
+    def step_wait(self):
+        if not self.waiting:
+            raise NotSteppingError
+        results = [remote.recv() for remote in self.remotes]
+        self.waiting = False
+        rews, dones, infos = zip(*results)
+        return (self._gather_obs(), np.asarray(rews, np.float32),
+                np.asarray(dones, bool), list(infos))
+
+    def close_extras(self):
+        if self.waiting:
+            for remote in self.remotes:
+                remote.recv()
+        for remote in self.remotes:
+            remote.send(("close", None))
+        for remote in self.remotes:
+            remote.recv()
+        for p in self.procs:
+            p.join()
 
 
 class BatchedVecEnv(VecEnv):
