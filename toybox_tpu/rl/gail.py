@@ -466,14 +466,27 @@ def make_gail_trpo(env_fns, expert_obs, expert_actions, *, network="mlp",
 
 def learn(*, env=None, game="breakout", num_envs=8, expert_path=None,
           expert_model=None, n_expert_transitions=4096,
-          total_updates=100, seed=0, network="cnn_small", nsteps=32,
-          bc_epochs=0, generator="trpo", log_interval=10, logger=None,
+          total_updates=None, total_timesteps=None, seed=0,
+          network="cnn_small", nsteps=32, bc_epochs=0, generator="trpo",
+          log_interval=10, logger=None, save_path=None, load_path=None,
           network_kwargs=None, **extra):
     """Full reference pipeline: load/extract expert data, optional BC
-    warm start, adversarial imitation."""
+    warm start, adversarial imitation. ``load_path`` doubles as the
+    expert model when ``expert_model`` is not given (run.py CLI path:
+    --alg=gail --load_path=models/Breakout.regress.model)."""
     from toybox_tpu.envs.pipeline import make_rl_env
 
     env_fns = env if env is not None else make_rl_env(game, num_envs)
+    if expert_model is None and expert_path is None:
+        expert_model = load_path
+    if total_updates is None:
+        if total_timesteps is not None:
+            fpstep = getattr(env_fns, "frames_per_step", 1)
+            total_updates = max(
+                int(total_timesteps) // (env_fns.num_envs * nsteps * fpstep),
+                1)
+        else:
+            total_updates = 100
     if expert_path is not None:
         expert_obs, expert_actions = load_expert_dataset(expert_path)
     else:
@@ -507,4 +520,8 @@ def learn(*, env=None, game="breakout", num_envs=8, expert_path=None,
                 logger.logkv(k, float(v))
             logger.dumpkvs()
     jax.block_until_ready(state.pi_params)
+    if save_path is not None:
+        from toybox_tpu.rl.ppo import save_params
+
+        save_params(save_path, state.pi_params)
     return state

@@ -55,6 +55,10 @@ ALG_DEFAULTS = {
                  entcoeff=0.01, optim_epochs=4, optim_stepsize=1e-3,
                  optim_batchsize=64, gamma=0.99, lam=0.95,
                  schedule="linear", network="cnn"),
+    # reference gail defaults (TRPO generator; --load_path doubles as
+    # the expert model to roll transitions from)
+    "gail": dict(network="cnn_small", nsteps=32, generator="trpo",
+                 bc_epochs=0),
 }
 
 
@@ -131,6 +135,14 @@ def get_learn_function(alg):
     if alg == "ppo1":
         from toybox_tpu.rl.ppo1 import learn
         return learn, dict(ALG_DEFAULTS["ppo1"])
+    if alg == "gail":
+        from toybox_tpu.rl.gail import learn
+        return learn, dict(ALG_DEFAULTS["gail"])
+    if alg in ("her", "ddpg"):
+        raise ValueError(
+            f"{alg} needs a goal/continuous-action env, not an ALE game "
+            f"(same as the reference); use toybox_tpu.rl.{alg}.learn "
+            f"directly")
     raise ValueError(f"unknown alg {alg!r}")
 
 
