@@ -129,6 +129,33 @@ def test_save_load_roundtrip(tmp_path):
         state.params, loaded)
 
 
+def test_serialization_across_algs(tmp_path):
+    """The reference's test_serialization contract (tests/
+    test_serialization.py:16-28): every algorithm's checkpoint survives a
+    save/load round-trip and reproduces the same policy outputs."""
+    from toybox_tpu.rl.policies import build_eval_policy
+    from toybox_tpu.rl.ppo import load_params, save_params
+
+    obs_shape, nact = (84, 84, 4), 6
+    obs = (np.arange(np.prod((2,) + obs_shape)) % 255).reshape(
+        (2,) + obs_shape).astype(np.uint8)
+    key = jax.random.PRNGKey(1)
+    for alg, network in [("ppo", "cnn_small"), ("a2c", "cnn_small"),
+                         ("deepq", "conv_only"), ("acer", "cnn_small"),
+                         ("acktr", "cnn"), ("trpo", "cnn_small"),
+                         ("ppo1", "cnn_small")]:
+        p_init, p_step = build_eval_policy(alg, obs_shape, nact, network)
+        params = p_init(jax.random.PRNGKey(0))
+        path = str(tmp_path / f"{alg}.msgpack")
+        save_params(path, params)
+        loaded = load_params(path, params)
+        a0, v0, _, extra0 = p_step(params, jnp.asarray(obs), key)
+        a1, v1, _, extra1 = p_step(loaded, jnp.asarray(obs), key)
+        np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+        np.testing.assert_allclose(np.asarray(v0), np.asarray(v1))
+        np.testing.assert_allclose(np.asarray(extra0), np.asarray(extra1))
+
+
 def test_cli_plumbing():
     from toybox_tpu.run import (env_id_to_game, get_learn_function,
                                 parse_cmdline_kwargs)
