@@ -142,6 +142,16 @@ def test_regress_random_agent_fails_gate():
     assert (scores <= 500 + 7).all()
 
 
+def test_regress_supports_recurrent_policies():
+    """--network=cnn_lstm checkpoints evaluate through the gate harness:
+    the LSTM carry threads the jitted chunks (reference --play threads
+    model.initial_state)."""
+    from toybox_tpu.regress import play_games
+
+    scores = play_games("gridworld", None, "cnn_lstm", 2, chunk=16)
+    assert scores.shape == (2,)
+
+
 def test_seed_state_extraction_channel():
     from toybox_tpu.run_get_seed_state import extract_seed_state
 

@@ -33,38 +33,52 @@ def play_games(game: str, params, network: str, n_games: int,
     import jax.numpy as jnp
 
     from toybox_tpu.envs.pipeline import make_rl_env
-    from toybox_tpu.rl.policies import build_eval_policy
+    from toybox_tpu.rl.policies import (RECURRENT_NETWORKS,
+                                        build_eval_policy,
+                                        build_recurrent_eval_policy)
 
     env = make_rl_env(game, n_games, episodic_life=False, clip_rewards=False)
-    p_init, p_step = build_eval_policy(alg, env.obs_shape, env.num_actions,
-                                       network)
+    recurrent = network in RECURRENT_NETWORKS
+    if recurrent:
+        p_init, p_step, carry_init = build_recurrent_eval_policy(
+            env.obs_shape, env.num_actions, network)
+    else:
+        p_init, p_step = build_eval_policy(alg, env.obs_shape,
+                                           env.num_actions, network)
     if params is None:
         params = p_init(jax.random.PRNGKey(seed))
 
     @jax.jit
-    def run_chunk(params, st, totals, finished, key):
+    def run_chunk(params, st, totals, finished, key, hcarry, prev_done):
         def body(carry, _):
-            st, totals, finished, key = carry
+            st, totals, finished, key, hcarry, prev_done = carry
             key, akey = jax.random.split(key)
-            actions, _, _, _ = p_step(params, st.frames, akey)
+            if recurrent:
+                actions, _, _, hcarry = p_step(params, st.frames, akey,
+                                               hcarry, prev_done)
+            else:
+                actions, _, _, _ = p_step(params, st.frames, akey)
             st, _, _, done, info = env.step(st, actions)
             totals = jnp.where(finished, totals, totals + info["raw_reward"])
             # early-done at the cap (regress.py:171-174) or game over
             finished = finished | done | (totals > score_cap)
-            return (st, totals, finished, key), None
+            return (st, totals, finished, key, hcarry, done), None
 
-        (st, totals, finished, key), _ = jax.lax.scan(
-            body, (st, totals, finished, key), None, length=chunk)
-        return st, totals, finished, key
+        (st, totals, finished, key, hcarry, prev_done), _ = jax.lax.scan(
+            body, (st, totals, finished, key, hcarry, prev_done), None,
+            length=chunk)
+        return st, totals, finished, key, hcarry, prev_done
 
     st, _ = jax.jit(env.reset)(
         jnp.arange(n_games, dtype=jnp.uint32) + jnp.uint32(seed))
     totals = jnp.zeros(n_games)
     finished = jnp.zeros(n_games, bool)
     key = jax.random.PRNGKey(seed)
+    hcarry = carry_init(n_games) if recurrent else jnp.zeros(n_games)
+    prev_done = jnp.zeros(n_games, bool)
     for _ in range(MAX_FRAMES // 4 // chunk):
-        st, totals, finished, key = run_chunk(params, st, totals, finished,
-                                              key)
+        st, totals, finished, key, hcarry, prev_done = run_chunk(
+            params, st, totals, finished, key, hcarry, prev_done)
         if bool(jax.device_get(finished).all()):
             break
     return np.asarray(jax.device_get(totals))
@@ -93,11 +107,17 @@ def main(argv=None):
         import jax
 
         from toybox_tpu.envs.pipeline import make_rl_env
-        from toybox_tpu.rl.policies import build_eval_policy
+        from toybox_tpu.rl.policies import (RECURRENT_NETWORKS,
+                                            build_eval_policy,
+                                            build_recurrent_eval_policy)
         from toybox_tpu.rl.ppo import load_params
         env = make_rl_env(game, 1)
-        p_init, _ = build_eval_policy(args.alg, env.obs_shape,
-                                      env.num_actions, network)
+        if network in RECURRENT_NETWORKS:
+            p_init, _, _ = build_recurrent_eval_policy(
+                env.obs_shape, env.num_actions, network)
+        else:
+            p_init, _ = build_eval_policy(args.alg, env.obs_shape,
+                                          env.num_actions, network)
         template = p_init(jax.random.PRNGKey(0))
         params = load_params(args.load_path, template)
 

@@ -78,6 +78,40 @@ def pd_from_logits(action_space, logits):
     return pd_builder(logits)
 
 
+RECURRENT_NETWORKS = ("lstm", "cnn_lstm", "cnn_lnlstm")
+
+
+def build_recurrent_eval_policy(obs_shape, action_space, network,
+                                nlstm=128, **network_kwargs):
+    """(init_fn, step_fn, carry_init) for recurrent checkpoints
+    (ppo_recurrent): step_fn threads the LSTM carry + episode-boundary
+    flags, the way the reference --play loop threads model.initial_state
+    (run.py:211-246)."""
+    from toybox_tpu.rl.distributions import CategoricalPd
+    from toybox_tpu.rl.models import LSTMTrunk
+    from toybox_tpu.rl.ppo_recurrent import RecurrentPolicyWithValue
+
+    trunk = get_network_builder(network)(nlstm=nlstm, **network_kwargs)
+    module = RecurrentPolicyWithValue(trunk=trunk, n_actions=action_space)
+
+    def carry_init(n):
+        return LSTMTrunk.initial_carry(n, nlstm)
+
+    def init_fn(key):
+        dummy = jnp.zeros((1,) + tuple(obs_shape), jnp.uint8)
+        return module.init(key, dummy, carry_init(1),
+                           jnp.zeros(1, bool))
+
+    def step_fn(params, obs, key, carry, prev_done):
+        logits, value, new_carry = module.apply(params, obs, carry,
+                                                prev_done)
+        pd = CategoricalPd(logits)
+        actions = pd.sample(key)
+        return actions, value, pd.neglogp(actions), new_carry
+
+    return init_fn, step_fn, carry_init
+
+
 def build_eval_policy(alg, obs_shape, action_space, network,
                       **network_kwargs):
     """(init_fn, step_fn) able to LOAD a given algorithm's checkpoint for

@@ -191,37 +191,51 @@ def play(args, state, n_envs=8, max_chunks=40, chunk=64):
     import numpy as np
 
     from toybox_tpu.envs.pipeline import make_rl_env
-    from toybox_tpu.rl.policies import build_eval_policy
+    from toybox_tpu.rl.policies import (RECURRENT_NETWORKS,
+                                        build_eval_policy,
+                                        build_recurrent_eval_policy)
 
     game = env_id_to_game(args.env)
     env = make_rl_env(game, n_envs, episodic_life=False, clip_rewards=False)
     _, kwargs = get_learn_function(args.alg)
     network = args.network or kwargs.get("network", "cnn")
-    _, p_step = build_eval_policy(args.alg, env.obs_shape, env.num_actions,
-                                  network)
+    recurrent = network in RECURRENT_NETWORKS
+    if recurrent:
+        _, p_step, carry_init = build_recurrent_eval_policy(
+            env.obs_shape, env.num_actions, network)
+    else:
+        _, p_step = build_eval_policy(args.alg, env.obs_shape,
+                                      env.num_actions, network)
     params = state.params
 
     @jax.jit
-    def run_chunk(st, totals, key):
+    def run_chunk(st, totals, key, hcarry, prev_done):
         def body(carry, _):
-            st, totals, key = carry
+            st, totals, key, hcarry, prev_done = carry
             key, akey = jax.random.split(key)
-            actions, _, _, _ = p_step(params, st.frames, akey)
+            if recurrent:
+                actions, _, _, hcarry = p_step(params, st.frames, akey,
+                                               hcarry, prev_done)
+            else:
+                actions, _, _, _ = p_step(params, st.frames, akey)
             st, _, _, done, info = env.step(st, actions)
             totals = totals + info["raw_reward"]
             finished = jnp.where(done, totals, jnp.nan)
             totals = jnp.where(done, 0.0, totals)
-            return (st, totals, key), finished
+            return (st, totals, key, hcarry, done), finished
 
-        (st, totals, key), finished = jax.lax.scan(
-            body, (st, totals, key), None, length=chunk)
-        return st, totals, key, finished
+        (st, totals, key, hcarry, prev_done), finished = jax.lax.scan(
+            body, (st, totals, key, hcarry, prev_done), None, length=chunk)
+        return st, totals, key, hcarry, prev_done, finished
 
     st, _ = jax.jit(env.reset)(jnp.arange(n_envs, dtype=jnp.uint32))
     totals = jnp.zeros(n_envs)
     key = jax.random.PRNGKey(0)
+    hcarry = carry_init(n_envs) if recurrent else jnp.zeros(n_envs)
+    prev_done = jnp.zeros(n_envs, bool)
     for _ in range(max_chunks):
-        st, totals, key, finished = run_chunk(st, totals, key)
+        st, totals, key, hcarry, prev_done, finished = run_chunk(
+            st, totals, key, hcarry, prev_done)
         for r in np.asarray(finished)[~np.isnan(np.asarray(finished))]:
             print(f"episode_rew={float(r)}")
 
