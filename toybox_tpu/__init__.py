@@ -18,6 +18,18 @@ Layer map (mirrors SURVEY.md §1, collapsed for TPU):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.getenv("TOYBOX_FORCE_CPU") == "1":
+    # Force the CPU backend BEFORE any module-level jnp constant can
+    # initialize a device backend. This must happen here (not in entry
+    # points): `python -m toybox_tpu.x` imports the package first, and
+    # the JAX_PLATFORMS env var can be overridden by site-installed
+    # platform plugins, while jax.config wins over both.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 from toybox_tpu.ctoybox import Input, Simulator, State, Toybox
 from toybox_tpu.games import GAMES, get_game
 

@@ -22,12 +22,15 @@ def get_scenarios(game: str):
     return SCENARIOS
 
 
-def run_all(game: str, policy=None, episodes=None, seed=0):
+def run_all(game: str, policy=None, episodes=None, seed=0,
+            max_frames=None):
     results = {}
     for scenario_cls in get_scenarios(game):
         s = scenario_cls(seed=seed)
         if episodes:
             s.n_episodes = episodes
+        if max_frames:
+            s.max_frames = min(s.max_frames, int(max_frames))
         scores = s.run(policy=policy)
         results[scenario_cls.__name__] = {
             "scores": scores.tolist(),
