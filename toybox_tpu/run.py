@@ -79,7 +79,8 @@ def common_arg_parser():
     parser.add_argument("--alg", type=str, default="ppo")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--num_timesteps", type=float, default=1e6)
-    parser.add_argument("--num_envs", type=int, default=64)
+    parser.add_argument("--num_envs", "--num_env", dest="num_envs",
+                        type=int, default=64)
     parser.add_argument("--network", type=str, default=None)
     parser.add_argument("--save_path", type=str, default=None)
     parser.add_argument("--load_path", type=str, default=None)
