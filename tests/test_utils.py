@@ -142,3 +142,31 @@ def test_learn_resumes_from_checkpoint_bit_exact(tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
         full.params, resumed.params)
+
+
+def test_acktr_resumes_from_checkpoint_bit_exact(tmp_path):
+    """Same contract for ACKTR, whose state additionally carries the EMA
+    Kronecker stats and cached inverses — resume must reproduce the
+    continuous run exactly, proving those serialize round-trip."""
+    from toybox_tpu.rl.acktr import learn
+    from toybox_tpu.rl.test_envs import make_discrete_identity_env
+
+    kw = dict(nsteps=4, num_envs=4, seed=0, invert_every=2)
+
+    def env():
+        return make_discrete_identity_env(4, dim=3)
+
+    ckpt_dir = str(tmp_path / "ck")
+    full = learn(env=env(), total_timesteps=6 * 16,
+                 checkpoint_path=ckpt_dir, checkpoint_freq=1, **kw)
+    for n in (4, 5, 6):
+        os.remove(os.path.join(ckpt_dir, f"ckpt_{n}"))
+    resumed = learn(env=env(), total_timesteps=6 * 16,
+                    checkpoint_path=ckpt_dir, checkpoint_freq=1, **kw)
+
+    assert int(full.update) == int(resumed.update) == 6
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        (full.params, full.kfac_stats, full.kfac_inv),
+        (resumed.params, resumed.kfac_stats, resumed.kfac_inv))
