@@ -312,9 +312,10 @@ def test_gail_trpo_discriminator_reward_is_load_bearing():
     env = make_discrete_identity_env(16, dim=DIM)
 
     def final_true_reward(reward_scale):
-        init_fn, step = make_gail_trpo(
+        init_fn, step, *_ = make_gail_trpo(
             env, expert_obs, expert_actions, network="mlp", nsteps=16,
             gamma=0.1, lam=0.5, max_kl=0.05, reward_scale=reward_scale,
+            disc_lr=1e-3, disc_steps=2,  # fast adversary: tiny task+budget
             network_kwargs=dict(num_hidden=32))
         state = init_fn(0)
         sj = jax.jit(step, donate_argnums=(0,))

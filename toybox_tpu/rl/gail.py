@@ -35,14 +35,30 @@ from toybox_tpu.rl.policies import build_policy, pd_from_logits
 F32 = jnp.float32
 
 
+def logit_bernoulli_entropy(logits):
+    """Entropy of Bernoulli(sigmoid(logits)) from the logits —
+    (1-sigmoid(l))*l - log sigmoid(l), the adversary regularizer of
+    reference gail/adversary.py:16-18 (after openai/imitation)."""
+    return (1.0 - jax.nn.sigmoid(logits)) * logits + jax.nn.softplus(-logits)
+
+
 class Discriminator(nn.Module):
     hidden: int = 100
 
     @nn.compact
     def __call__(self, obs, action_onehot):
-        x = jnp.concatenate(
-            [obs.reshape((obs.shape[0], -1)).astype(F32),
-             action_onehot.astype(F32)], axis=-1)
+        o = obs.reshape((obs.shape[0], -1))
+        # Observation normalization (the reference's TransitionClassifier
+        # standardizes obs with a RunningMeanStd before the tanh MLP,
+        # gail/adversary.py). Raw 0-255 Atari frames saturate every tanh:
+        # the disc collapses to a constant function whose expert/policy
+        # gradients cancel exactly, and it never trains. Frame obs are
+        # uint8, so the fixed [0,1] rescale is the whole normalization.
+        if o.dtype == jnp.uint8:
+            x = o.astype(F32) / 255.0
+        else:
+            x = o.astype(F32)
+        x = jnp.concatenate([x, action_onehot.astype(F32)], axis=-1)
         x = nn.tanh(nn.Dense(self.hidden)(x))
         x = nn.tanh(nn.Dense(self.hidden)(x))
         return nn.Dense(1)(x)[..., 0]     # logit; sigmoid > .5 == "expert"
@@ -57,12 +73,19 @@ class GAILState:
     env_state: Any
     key: jnp.ndarray
     update: jnp.ndarray
+    # Expert data rides in the state so it reaches the jitted step as a
+    # donated ARGUMENT: a closed-over device array would be baked into
+    # the HLO as a constant, and at Atari scale (16k x 84x84x4 uint8 ≈
+    # 0.4 GB) that blows up program serialization (the remote compile
+    # service rejects the request outright).
+    expert_obs: jnp.ndarray
+    expert_onehot: jnp.ndarray
 
 
 def make_gail(env_fns, expert_obs, expert_actions, *, network="mlp",
               nsteps=32, pi_lr=3e-3, disc_lr=1e-3, disc_steps=2,
-              gamma=0.99, lam=0.95, cliprange=0.2, ent_coef=0.001,
-              noptepochs=2, network_kwargs=None):
+              disc_entcoeff=1e-3, gamma=0.99, lam=0.95, cliprange=0.2,
+              ent_coef=0.001, noptepochs=2, network_kwargs=None):
     num_envs = env_fns.num_envs
     nact = env_fns.num_actions
     nbatch = num_envs * nsteps
@@ -73,7 +96,9 @@ def make_gail(env_fns, expert_obs, expert_actions, *, network="mlp",
     pi_tx = optax.adam(pi_lr)
     disc_tx = optax.adam(disc_lr)
 
-    expert_onehot = jax.nn.one_hot(expert_actions, nact, dtype=F32)
+    expert_onehot = jax.nn.one_hot(jnp.asarray(expert_actions), nact,
+                                   dtype=F32)
+    expert_obs = jnp.asarray(expert_obs)
 
     def init_fn(seed=0):
         key = jax.random.PRNGKey(seed)
@@ -88,7 +113,9 @@ def make_gail(env_fns, expert_obs, expert_actions, *, network="mlp",
                        pi_opt=pi_tx.init(pi_params),
                        disc_opt=disc_tx.init(disc_params),
                        env_state=env_state, key=key,
-                       update=jnp.asarray(0, jnp.int32))
+                       update=jnp.asarray(0, jnp.int32),
+                       expert_obs=expert_obs,
+                       expert_onehot=expert_onehot)
         return jax.tree_util.tree_map(jnp.array, st)
 
     def train_step(state: GAILState):
@@ -116,15 +143,19 @@ def make_gail(env_fns, expert_obs, expert_actions, *, network="mlp",
         # --- discriminator update ----------------------------------------
         def disc_loss_fn(params, ekey):
             idx = jax.random.randint(ekey, (nbatch,), 0,
-                                     expert_obs.shape[0])
-            e_logit = disc.apply(params, expert_obs[idx],
-                                 expert_onehot[idx])
+                                     state.expert_obs.shape[0])
+            e_logit = disc.apply(params, state.expert_obs[idx],
+                                 state.expert_onehot[idx])
             p_logit = disc.apply(params, fobs, pol_onehot)
-            # expert -> 1, policy -> 0
+            # expert -> 1, policy -> 0; entropy bonus keeps the adversary
+            # from saturating (adversary.py entcoeff)
+            ent = jnp.mean(logit_bernoulli_entropy(
+                jnp.concatenate([p_logit, e_logit])))
             loss = (optax.sigmoid_binary_cross_entropy(
                         e_logit, jnp.ones_like(e_logit)).mean()
                     + optax.sigmoid_binary_cross_entropy(
-                        p_logit, jnp.zeros_like(p_logit)).mean())
+                        p_logit, jnp.zeros_like(p_logit)).mean()
+                    - disc_entcoeff * ent)
             acc = 0.5 * (jnp.mean(e_logit > 0) + jnp.mean(p_logit < 0))
             return loss, acc
 
@@ -185,7 +216,9 @@ def make_gail(env_fns, expert_obs, expert_actions, *, network="mlp",
         return GAILState(pi_params=pi_params, disc_params=disc_params,
                          pi_opt=pi_opt, disc_opt=disc_opt,
                          env_state=env_state, key=key,
-                         update=state.update + 1), metrics
+                         update=state.update + 1,
+                         expert_obs=state.expert_obs,
+                         expert_onehot=state.expert_onehot), metrics
 
     return init_fn, train_step
 
@@ -197,10 +230,17 @@ def make_gail(env_fns, expert_obs, expert_actions, *, network="mlp",
 
 def generate_expert_dataset(env_fns, *, load_path=None, params=None,
                             n_transitions=4096, network="cnn", seed=0,
-                            stochastic=True, network_kwargs=None):
+                            stochastic=True, stride=1,
+                            network_kwargs=None):
     """Roll out a trained policy on a batched env and record (obs, action)
     transitions. Pass either ``params`` or ``load_path`` (a file written by
-    rl.ppo.save_params, e.g. the committed regress-gate models)."""
+    rl.ppo.save_params, e.g. the committed regress-gate models).
+
+    ``stride=k`` records every k-th transition, covering a k× longer
+    horizon for the same dataset size — important when expert episodes
+    are far longer than n_transitions/num_envs (a from-reset-only
+    dataset lets a GAIL adversary separate late-game policy states on
+    sight and the imitation reward vanishes)."""
     from toybox_tpu.rl.ppo import load_params
 
     module, p_init, p_step, _ = build_policy(
@@ -213,17 +253,32 @@ def generate_expert_dataset(env_fns, *, load_path=None, params=None,
     num_envs = env_fns.num_envs
     nsteps = -(-n_transitions // num_envs)  # ceil
 
+    def act_and_step(env_state, key):
+        obs = env_state.frames
+        key, akey = jax.random.split(key)
+        if stochastic:
+            actions, _, _, _ = p_step(params, obs, akey)
+        else:
+            logits, _ = module.apply(params, obs)
+            actions = jnp.argmax(logits, axis=-1)
+        env_state, _, _, _, _ = env_fns.step(env_state, actions)
+        return env_state, key, obs, actions
+
     def rollout(env_state, key):
         def body(carry, _):
             env_state, key = carry
-            obs = env_state.frames
-            key, akey = jax.random.split(key)
-            if stochastic:
-                actions, _, _, _ = p_step(params, obs, akey)
-            else:
-                logits, _ = module.apply(params, obs)
-                actions = jnp.argmax(logits, axis=-1)
-            env_state, _, _, _, _ = env_fns.step(env_state, actions)
+            # record the first transition of each stride window...
+            env_state, key, obs, actions = act_and_step(env_state, key)
+
+            def skip(carry, _):
+                env_state, key = carry
+                env_state, key, _, _ = act_and_step(env_state, key)
+                return (env_state, key), None
+
+            # ...then advance stride-1 unrecorded steps (memory stays
+            # O(n_transitions) regardless of the horizon covered)
+            (env_state, key), _ = jax.lax.scan(skip, (env_state, key),
+                                               None, length=stride - 1)
             return (env_state, key), (obs, actions)
 
         (_, _), (obs, actions) = jax.lax.scan(body, (env_state, key),
@@ -270,21 +325,37 @@ def behavior_clone(env_fns, expert_obs, expert_actions, *, network="mlp",
     bs = min(batch_size, n)
     tx = optax.adam(lr)
 
+    steps_per_epoch = -(-n // bs)  # ceil: one full shuffled pass
+
     def loss_fn(params, o, a):
         logits, _ = module.apply(params, o)
         pd = pd_from_logits(nact, logits)
         return jnp.mean(pd.neglogp(a))
 
+    # expert data enters as jit ARGUMENTS — a closed-over device array
+    # becomes an HLO constant, and Atari-scale datasets make the program
+    # too large to compile (remote services reject the upload).
     @jax.jit
-    def train(params, opt_state, key):
+    def train(params, opt_state, key, eobs, eacts):
         def epoch(carry, ekey):
             params, opt_state = carry
-            idx = jax.random.randint(ekey, (bs,), 0, n)
-            loss, grads = jax.value_and_grad(loss_fn)(
-                params, expert_obs[idx], expert_actions[idx])
-            upd, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, upd)
-            return (params, opt_state), loss
+            perm = jax.random.permutation(ekey, n)
+            # wrap the tail so every minibatch is full-size (static shape)
+            idx = jnp.concatenate(
+                [perm, perm[:steps_per_epoch * bs - n]]).reshape(
+                    steps_per_epoch, bs)
+
+            def minibatch(carry, ids):
+                params, opt_state = carry
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    params, eobs[ids], eacts[ids])
+                upd, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, upd)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                minibatch, (params, opt_state), idx)
+            return (params, opt_state), jnp.mean(losses)
 
         keys = jax.random.split(key, epochs)
         (params, opt_state), losses = jax.lax.scan(
@@ -294,7 +365,8 @@ def behavior_clone(env_fns, expert_obs, expert_actions, *, network="mlp",
     key = jax.random.PRNGKey(seed)
     key, pkey = jax.random.split(key)
     params = p_init(pkey)
-    params, _, losses = train(params, tx.init(params), key)
+    params, _, losses = train(params, tx.init(params), key,
+                              expert_obs, expert_actions)
     return params, float(losses[-1])
 
 
@@ -312,19 +384,30 @@ class GAILTRPOState:
     env_state: Any
     key: jnp.ndarray
     update: jnp.ndarray
+    # expert data as donated jit arguments, not HLO constants (see
+    # GAILState)
+    expert_obs: jnp.ndarray
+    expert_onehot: jnp.ndarray
 
 
 def make_gail_trpo(env_fns, expert_obs, expert_actions, *, network="mlp",
                    nsteps=32, gamma=0.99, lam=0.97, max_kl=0.01,
                    cg_iters=10, cg_damping=0.1, vf_stepsize=3e-4,
-                   vf_iters=3, ent_coef=0.0, disc_lr=1e-3, disc_steps=2,
-                   reward_scale=1.0, pretrain_params=None,
-                   network_kwargs=None):
+                   vf_iters=3, ent_coef=0.0, disc_lr=3e-4, disc_steps=1,
+                   disc_entcoeff=1e-3, reward_scale=1.0,
+                   pretrain_params=None, network_kwargs=None):
     """GAIL with the reference's TRPO generator: discriminator reward
     -log(1 - D(s, a)) drives KL-constrained natural-gradient steps
     (trust_region_update shared with rl/trpo.py). ``reward_scale=0``
     ablates the adversarial reward (for tests that must fail without it).
-    ``pretrain_params`` warm-starts the policy (behavior_clone output)."""
+    ``pretrain_params`` warm-starts the policy (behavior_clone output).
+
+    The adversary is deliberately the slow player, as in the reference
+    (gail/trpo_mpi.py:245-326 runs g_step generator iterations per single
+    d_step at d_stepsize 3e-4): returns a separate ``disc_step`` program
+    so learn() can train the discriminator every ``g_step``-th update —
+    a disc trained every step races to accuracy ~1 and the softplus
+    reward (and its gradient) vanishes."""
     from toybox_tpu.rl.trpo import trust_region_update
 
     num_envs = env_fns.num_envs
@@ -359,10 +442,18 @@ def make_gail_trpo(env_fns, expert_obs, expert_actions, *, network="mlp",
                            disc_params=disc_params,
                            disc_opt=disc_tx.init(disc_params),
                            env_state=env_state, key=key,
-                           update=jnp.asarray(0, jnp.int32))
+                           update=jnp.asarray(0, jnp.int32),
+                           expert_obs=expert_obs,
+                           expert_onehot=expert_onehot)
         return jax.tree_util.tree_map(jnp.array, st)
 
-    def train_step(state: GAILTRPOState):
+    # Split into TWO jit programs (rollout+discriminator+GAE, then the
+    # CG/line-search update), mirroring rl/trpo.py: the fused graph's
+    # double-grad Fisher-vector products stacked on the env pipeline AND
+    # the discriminator make one huge XLA program that is needlessly
+    # hard on the compiler (the fused TRPO variant took the remote
+    # compile service down in round 2).
+    def rollout_step(state: GAILTRPOState):
         # --- rollout (true env rewards discarded; D provides them) -------
         def body(carry, _):
             env_state, key = carry
@@ -385,31 +476,9 @@ def make_gail_trpo(env_fns, expert_obs, expert_actions, *, network="mlp",
         fobs, facts = fl(obs), fl(actions)
         pol_onehot = jax.nn.one_hot(facts, nact, dtype=F32)
 
-        # --- discriminator update (adversary.py loss) ---------------------
-        def disc_loss_fn(params, ekey):
-            idx = jax.random.randint(ekey, (nbatch,), 0,
-                                     expert_obs.shape[0])
-            e_logit = disc.apply(params, expert_obs[idx],
-                                 expert_onehot[idx])
-            p_logit = disc.apply(params, fobs, pol_onehot)
-            loss = (optax.sigmoid_binary_cross_entropy(
-                        e_logit, jnp.ones_like(e_logit)).mean()
-                    + optax.sigmoid_binary_cross_entropy(
-                        p_logit, jnp.zeros_like(p_logit)).mean())
-            acc = 0.5 * (jnp.mean(e_logit > 0) + jnp.mean(p_logit < 0))
-            return loss, acc
-
-        disc_params, disc_opt = state.disc_params, state.disc_opt
-        dloss = dacc = jnp.asarray(0.0)
-        for _ in range(disc_steps):
-            key, dkey = jax.random.split(key)
-            (dloss, dacc), dgrads = jax.value_and_grad(
-                disc_loss_fn, has_aux=True)(disc_params, dkey)
-            dupd, disc_opt = disc_tx.update(dgrads, disc_opt, disc_params)
-            disc_params = optax.apply_updates(disc_params, dupd)
-
-        # --- adversarial reward + GAE -------------------------------------
-        logit_flat = disc.apply(disc_params, fobs, pol_onehot)
+        # --- adversarial reward + GAE (CURRENT discriminator — the
+        # reference computes the g-step rewards before the d-step) --------
+        logit_flat = disc.apply(state.disc_params, fobs, pol_onehot)
         adv_reward = reward_scale * jax.nn.softplus(logit_flat)
         rewards = adv_reward.reshape(nsteps, num_envs)
         last_value = vf_value(state.vf_params, env_state.frames)
@@ -429,6 +498,17 @@ def make_gail_trpo(env_fns, expert_obs, expert_actions, *, network="mlp",
         fadv = fl(advs)
         fadv = (fadv - fadv.mean()) / (fadv.std() + 1e-8)
         fret, fnlp = fl(returns), fl(neglogps)
+
+        batch = dict(fobs=fobs, facts=facts, fadv=fadv, fnlp=fnlp,
+                     fret=fret)
+        roll_metrics = dict(adv_reward=jnp.mean(adv_reward),
+                            true_reward=jnp.mean(true_r))
+        state = state.replace(env_state=env_state, key=key)
+        return state, batch, roll_metrics
+
+    def update_step(state: GAILTRPOState, batch):
+        fobs, facts = batch["fobs"], batch["facts"]
+        fadv, fnlp, fret = batch["fadv"], batch["fnlp"], batch["fret"]
 
         # --- TRPO generator step ------------------------------------------
         pi_params, tr_metrics = trust_region_update(
@@ -452,24 +532,65 @@ def make_gail_trpo(env_fns, expert_obs, expert_actions, *, network="mlp",
             vf_iter, (state.vf_params, state.vf_opt), None,
             length=vf_iters)
 
-        metrics = dict(disc_loss=dloss, disc_acc=dacc,
-                       adv_reward=jnp.mean(adv_reward),
-                       true_reward=jnp.mean(true_r),
-                       vf_loss=vf_losses[-1], **tr_metrics)
-        return GAILTRPOState(pi_params=pi_params, vf_params=vf_params,
-                             vf_opt=vf_opt, disc_params=disc_params,
-                             disc_opt=disc_opt, env_state=env_state,
-                             key=key, update=state.update + 1), metrics
+        metrics = dict(vf_loss=vf_losses[-1], **tr_metrics)
+        return state.replace(pi_params=pi_params, vf_params=vf_params,
+                             vf_opt=vf_opt,
+                             update=state.update + 1), metrics
 
-    return init_fn, train_step
+    def disc_step(state: GAILTRPOState, batch):
+        """One adversary update on the last rollout's transitions
+        (gail/trpo_mpi.py:311-326 trains the TransitionClassifier after
+        the g_step generator iterations, on policy-vs-expert minibatches)."""
+        fobs, facts = batch["fobs"], batch["facts"]
+        pol_onehot = jax.nn.one_hot(facts, nact, dtype=F32)
+
+        def disc_loss_fn(params, ekey):
+            idx = jax.random.randint(ekey, (nbatch,), 0,
+                                     state.expert_obs.shape[0])
+            e_logit = disc.apply(params, state.expert_obs[idx],
+                                 state.expert_onehot[idx])
+            p_logit = disc.apply(params, fobs, pol_onehot)
+            # entropy bonus keeps the adversary from saturating
+            # (adversary.py:43-46, entcoeff default 1e-3)
+            ent = jnp.mean(logit_bernoulli_entropy(
+                jnp.concatenate([p_logit, e_logit])))
+            loss = (optax.sigmoid_binary_cross_entropy(
+                        e_logit, jnp.ones_like(e_logit)).mean()
+                    + optax.sigmoid_binary_cross_entropy(
+                        p_logit, jnp.zeros_like(p_logit)).mean()
+                    - disc_entcoeff * ent)
+            acc = 0.5 * (jnp.mean(e_logit > 0) + jnp.mean(p_logit < 0))
+            return loss, acc
+
+        key = state.key
+        disc_params, disc_opt = state.disc_params, state.disc_opt
+        dloss = dacc = jnp.asarray(0.0)
+        for _ in range(disc_steps):
+            key, dkey = jax.random.split(key)
+            (dloss, dacc), dgrads = jax.value_and_grad(
+                disc_loss_fn, has_aux=True)(disc_params, dkey)
+            dupd, disc_opt = disc_tx.update(dgrads, disc_opt, disc_params)
+            disc_params = optax.apply_updates(disc_params, dupd)
+
+        metrics = dict(disc_loss=dloss, disc_acc=dacc)
+        return state.replace(disc_params=disc_params, disc_opt=disc_opt,
+                             key=key), metrics
+
+    def train_step(state: GAILTRPOState):
+        state, batch, roll_metrics = rollout_step(state)
+        state, metrics = update_step(state, batch)
+        state, disc_metrics = disc_step(state, batch)
+        return state, {**metrics, **roll_metrics, **disc_metrics}
+
+    return init_fn, train_step, rollout_step, update_step, disc_step
 
 
 def learn(*, env=None, game="breakout", num_envs=8, expert_path=None,
-          expert_model=None, n_expert_transitions=4096,
+          expert_model=None, n_expert_transitions=4096, expert_stride=1,
           total_updates=None, total_timesteps=None, seed=0,
           network="cnn_small", nsteps=32, bc_epochs=0, generator="trpo",
-          log_interval=10, logger=None, save_path=None, load_path=None,
-          network_kwargs=None, **extra):
+          g_step=3, log_interval=10, logger=None, save_path=None,
+          load_path=None, network_kwargs=None, **extra):
     """Full reference pipeline: load/extract expert data, optional BC
     warm start, adversarial imitation. ``load_path`` doubles as the
     expert model when ``expert_model`` is not given (run.py CLI path:
@@ -481,10 +602,14 @@ def learn(*, env=None, game="breakout", num_envs=8, expert_path=None,
         expert_model = load_path
     if total_updates is None:
         if total_timesteps is not None:
+            # --num_timesteps=0 means "no adversarial updates": pure
+            # behavior cloning (the gail/behavior_clone.py surface),
+            # saving the BC policy as-is.
             fpstep = getattr(env_fns, "frames_per_step", 1)
-            total_updates = max(
-                int(total_timesteps) // (env_fns.num_envs * nsteps * fpstep),
-                1)
+            total_updates = (
+                0 if int(total_timesteps) == 0 else max(
+                    int(total_timesteps)
+                    // (env_fns.num_envs * nsteps * fpstep), 1))
         else:
             total_updates = 100
     if expert_path is not None:
@@ -493,7 +618,8 @@ def learn(*, env=None, game="breakout", num_envs=8, expert_path=None,
         assert expert_model is not None, "need expert_path or expert_model"
         expert_obs, expert_actions = generate_expert_dataset(
             env_fns, load_path=expert_model,
-            n_transitions=n_expert_transitions, network="cnn", seed=seed)
+            n_transitions=n_expert_transitions, network="cnn", seed=seed,
+            stride=expert_stride)
 
     pretrain = None
     if bc_epochs:
@@ -503,19 +629,50 @@ def learn(*, env=None, game="breakout", num_envs=8, expert_path=None,
         if logger is not None:
             logger.logkv("bc_final_loss", bc_loss)
 
-    maker = make_gail_trpo if generator == "trpo" else make_gail
     kwargs = dict(network=network, nsteps=nsteps,
                   network_kwargs=network_kwargs)
     if generator == "trpo":
-        kwargs["pretrain_params"] = pretrain
-    init_fn, step = maker(env_fns, expert_obs, expert_actions, **kwargs)
-    state = init_fn(seed)
-    if pretrain is not None and generator != "trpo":
-        state = state.replace(pi_params=pretrain)
-    step_jit = jax.jit(step, donate_argnums=(0,))
+        # forward maker knobs given on the CLI (--disc_lr=, --max_kl=, …)
+        maker_keys = ("gamma", "lam", "max_kl", "cg_iters", "cg_damping",
+                      "vf_stepsize", "vf_iters", "ent_coef", "disc_lr",
+                      "disc_steps", "disc_entcoeff", "reward_scale")
+        kwargs.update({k: extra.pop(k) for k in maker_keys if k in extra})
+        init_fn, _, rollout_step, update_step, disc_step = make_gail_trpo(
+            env_fns, expert_obs, expert_actions, pretrain_params=pretrain,
+            **kwargs)
+        state = init_fn(seed)
+        rollout_jit = jax.jit(rollout_step, donate_argnums=(0,))
+        update_jit = jax.jit(update_step, donate_argnums=(0,))
+        disc_jit = jax.jit(disc_step, donate_argnums=(0,))
+        disc_metrics = {}
+
+        def step_jit(state, i):
+            nonlocal disc_metrics
+            state, batch, roll_metrics = rollout_jit(state)
+            state, metrics = update_jit(state, batch)
+            # reference pacing: one adversary d_step per g_step
+            # generator iterations (gail/trpo_mpi.py:245-326)
+            if i % g_step == 0:
+                state, disc_metrics = disc_jit(state, batch)
+            return state, {**metrics, **roll_metrics, **disc_metrics}
+    else:
+        init_fn, step = make_gail(env_fns, expert_obs, expert_actions,
+                                  **kwargs)
+        state = init_fn(seed)
+        if pretrain is not None:
+            state = state.replace(pi_params=pretrain)
+        _sj = jax.jit(step, donate_argnums=(0,))
+
+        def step_jit(state, i):
+            return _sj(state)
+    t0 = time.perf_counter()
     for i in range(1, total_updates + 1):
-        state, metrics = step_jit(state)
+        state, metrics = step_jit(state, i)
         if logger is not None and i % log_interval == 0:
+            fpstep = getattr(env_fns, "frames_per_step", 1)
+            logger.logkv("nupdates", i)
+            logger.logkv("fps", int(i * env_fns.num_envs * nsteps * fpstep
+                                    / (time.perf_counter() - t0)))
             for k, v in jax.device_get(metrics).items():
                 logger.logkv(k, float(v))
             logger.dumpkvs()
