@@ -428,12 +428,15 @@ def _amidar_prep_frame(config):
             [states.enemy_exists.astype(F32) * 2.0 - 1.0,
              jnp.ones((n, 1), F32)], axis=1)              # [E, 9]
 
-        data = jnp.zeros((n, 50, _AM_BW), F32)
-        data = data.at[:, :_AM_BH, :].set(grid)
-        data = data.at[:, 32, :9].set(sprite_y)
-        data = data.at[:, 33, :9].set(show)
-        data = data.at[:, 34:43, 0].set(sprite_x)
-        return data
+        # Keep the bulk grid as one contiguous leading block and confine
+        # the .at[].set sprite updates to a small [N, 19, 32] tail: update
+        # chains into the full custom-call operand cost ~10x the kernel
+        # (see the SI prep note), but on a 2.4MB tail they are free.
+        tail = jnp.zeros((n, 50 - _AM_BH, _AM_BW), F32)
+        tail = tail.at[:, 1, :9].set(sprite_y)            # row 32
+        tail = tail.at[:, 2, :9].set(show)                # row 33
+        tail = tail.at[:, 3:12, 0].set(sprite_x)          # rows 34..42
+        return jnp.concatenate([grid, tail], axis=1)
 
     return prep, frame, aux
 
@@ -605,14 +608,23 @@ def _si_prep_frame(config):
     frame = _make_si_frame(shield_xs, shield_y, lum)
 
     def prep(states):
+        # Assemble the kernel operand with CONCATENATION ONLY. The obvious
+        # zeros().at[rows, lanes].set(...) assembly makes XLA materialize
+        # the [N, 64, 48] custom-call operand through a chain of
+        # dynamic-update-slice fusions that costs ~10x the kernel itself
+        # (measured on the chip: 1.8 ms/call/prep at N=1024 vs ~0.1 ms for
+        # the same values built from contiguous row blocks).
         n = states.score.shape[0]
         show = (states.enemy_alive | (states.enemy_death_counter >= 0))
         show = show.reshape(n, _SI_ROWS, _SI_COLS).astype(F32)
 
-        alpha = jnp.zeros((n, 18, 48), F32)
         sa = states.shield_alpha.astype(F32)             # [N, S, 18, 16]
-        for s in range(n_shields):
-            alpha = alpha.at[:, :, s * 16:(s + 1) * 16].set(sa[:, s])
+        alpha = sa.transpose(0, 2, 1, 3).reshape(n, SHIELD_ROWS,
+                                                 n_shields * 16)
+        if n_shields < 3:
+            alpha = jnp.concatenate(
+                [alpha, jnp.zeros((n, SHIELD_ROWS, 48 - n_shields * 16),
+                                  F32)], axis=2)
 
         f = lambda x: x.astype(F32)
         anchor = jnp.stack([f(states.enemy_x[:, 0]),
@@ -637,14 +649,29 @@ def _si_prep_frame(config):
              states.elaser_alive[:, 2].astype(F32),
              states.elaser_alive[:, 3].astype(F32)], axis=1) * 2 - 1
 
-        data = jnp.zeros((n, 64, 48), F32)
-        data = data.at[:, :18, :48].set(alpha)
-        data = data.at[:, 32, :2].set(anchor)
-        data = data.at[:, 33, 6:13].set(sprite_y)
-        data = data.at[:, 34, 6:13].set(sprite_show)
-        data = data.at[:, 40:46, :_SI_COLS].set(show)
-        data = data.at[:, 54:61, 0].set(sprite_x)
-        return data
+        def zrows(r):
+            return jnp.zeros((n, r, 48), F32)
+
+        pad6 = jnp.zeros((n, 6), F32)
+        pad35 = jnp.zeros((n, 48 - 13), F32)
+        row32 = jnp.concatenate(
+            [anchor, jnp.zeros((n, 46), F32)], axis=1)[:, None]
+        row33 = jnp.concatenate([pad6, sprite_y, pad35], axis=1)[:, None]
+        row34 = jnp.concatenate([pad6, sprite_show, pad35],
+                                axis=1)[:, None]
+        show48 = jnp.concatenate(
+            [show, jnp.zeros((n, _SI_ROWS, 48 - _SI_COLS), F32)], axis=2)
+        sx48 = jnp.concatenate(
+            [sprite_x[:, :, None], jnp.zeros((n, 7, 47), F32)], axis=2)
+        return jnp.concatenate(
+            [alpha,            # rows 0..17
+             zrows(14),        # rows 18..31
+             row32, row33, row34,
+             zrows(5),         # rows 35..39
+             show48,           # rows 40..45
+             zrows(8),         # rows 46..53
+             sx48,             # rows 54..60
+             zrows(3)], axis=1)
 
     return prep, frame
 
