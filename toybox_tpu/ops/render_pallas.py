@@ -170,50 +170,61 @@ def _luma_u32(packed):
     return 0.299 * r + 0.587 * g + 0.114 * b
 
 
-def _breakout_frame(d, base, expand):
-    """Compose one env's frame in VMEM.
+def _make_breakout_frame(pad_luma, ball_luma):
+    """Close over the config-static sprite lumas. d f32[48, 24]:
+    rows 0..23: brick luma grid (-1 = empty; cols padded 18->24);
+    row 24 lanes 0..15: sprite y-low (lane 0 paddle, lanes 1..4 balls);
+    row 25: sprite y-high; row 26: sprite show (+/-1);
+    rows 32..47 cols 0/1: sprite x-low / x-high as columns.
 
-    d: f32[32, 24] — rows 0..23: brick luma grid (-1 = empty;
-    cols padded 18->24); row 24: per-env scalars (paddle_x, half_w,
-    paddle_luma, ball_luma, radius, bx0..3, by0..3, show0..3 as +/-1).
-    base: f32[160, 240] static background luma.
-    """
-    # Mosaic iota must be integer; cast to f32 for the sprite compares
-    ys = jax.lax.broadcasted_iota(jnp.int32, (_H, _W), 0).astype(F32)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (_H, _W), 1).astype(F32)
-    img = base
+    Sprites ride ONE outer-product MXU matmul V = R @ C (paddle weight 1,
+    balls weight 4 — balls drawn last in the XLA render, so they win
+    overlaps; bf16 is exact on 0/1 masks x small power-of-two weights),
+    replacing the per-sprite full-frame select passes of the round-1
+    kernel (~30 VPU sweeps -> 1 dot + 2 selects)."""
+    BF16 = jnp.bfloat16
 
-    band = d[:_BAND_ROWS, :]                             # [24, 24]
-    band = jnp.repeat(band, _CELL_H, axis=0)             # [96, 24] sublane
-    # lane-axis upsample: Mosaic can't reshape across lanes, so expand
-    # columns with a static 0/1 matrix on the MXU
-    band = jnp.dot(band, expand, preferred_element_type=F32)
-    band_full = jnp.pad(
-        band,
-        ((_BAND_Y0, _H - _BAND_Y0 - _BAND_ROWS * _CELL_H),
-         (12, _W - 12 - _BAND_COLS * _CELL_W)),
-        constant_values=-1.0)
-    img = jnp.where(band_full >= 0.0, band_full, img)
+    def frame(d, base, expand):
+        img = base
 
-    scal = d[_BAND_ROWS, :]                              # [24]
-    px = scal[0]
-    half = scal[1]
-    pad_luma = scal[2]
-    ball_luma = scal[3]
-    r = scal[4]
-    pm = ((ys >= 143.0) & (ys < 143.0 + _PADDLE_H)
-          & (xs >= px - half) & (xs < px + half))
-    img = jnp.where(pm, pad_luma, img)
+        band = d[:_BAND_ROWS, :]                         # [24, 24]
+        band = jnp.repeat(band, _CELL_H, axis=0)         # [96, 24] sublane
+        # lane-axis upsample: Mosaic can't reshape across lanes, so
+        # expand columns with a static 0/1 matrix on the MXU. HIGHEST so
+        # the MXU's bf16 passes don't perturb fractional brick lumas
+        # (off-by-1 u8 truncation vs the XLA render otherwise).
+        band = jnp.dot(band, expand, preferred_element_type=F32,
+                       precision=jax.lax.Precision.HIGHEST)
+        band_full = jnp.pad(
+            band,
+            ((_BAND_Y0, _H - _BAND_Y0 - _BAND_ROWS * _CELL_H),
+             (12, _W - 12 - _BAND_COLS * _CELL_W)),
+            constant_values=-1.0)
+        img = jnp.where(band_full >= 0.0, band_full, img)
 
-    for i in range(4):
-        bx = scal[5 + i]
-        by = scal[9 + i]
-        show = scal[13 + i] > 0.0
-        m = ((xs >= bx - r) & (xs < bx + r)
-             & (ys >= by - r) & (ys < by + r) & show)
-        img = jnp.where(m, ball_luma, img)
+        ys16 = jax.lax.broadcasted_iota(jnp.int32, (_H, 16), 0).astype(F32)
+        ylo = d[24:25, :16]
+        yhi = d[25:26, :16]
+        show = d[26:27, :16]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 16), 1)
+        wgt = jnp.where(lane == 0, 1.0,
+                        jnp.where(lane < 5, 4.0, 0.0))
+        R = (((ys16 >= ylo) & (ys16 < yhi) & (show > 0.0)).astype(F32)
+             * wgt)                                      # [160, 16]
 
-    return jnp.clip(img, 0.0, 255.0)
+        xs16 = jax.lax.broadcasted_iota(jnp.int32, (16, _W), 1).astype(F32)
+        xlo = d[32:48, 0:1]
+        xhi = d[32:48, 1:2]
+        C = ((xs16 >= xlo) & (xs16 < xhi)).astype(BF16)  # [16, 240]
+
+        V = jnp.dot(R.astype(BF16), C,
+                    preferred_element_type=F32)          # [160, 240]
+        img = jnp.where(V >= 4.0, ball_luma,
+                        jnp.where(V >= 1.0, pad_luma, img))
+
+        return jnp.clip(img, 0.0, 255.0)
+
+    return frame
 
 
 def _breakout_static_base(config) -> jnp.ndarray:
@@ -229,9 +240,8 @@ def _breakout_static_base(config) -> jnp.ndarray:
 
 
 def _breakout_prep(config):
-    """Host-side factory: fn(states) -> f32[N, 32, 24] kernel data."""
-    pad_luma = float(np.asarray(_luma_u32(np.asarray(config.paddle_color))))
-    ball_luma = float(np.asarray(_luma_u32(np.asarray(config.ball_color))))
+    """Host-side factory: fn(states) -> f32[N, 48, 24] kernel data
+    (concat-only assembly — see the SI prep note on .at[].set cost)."""
 
     def prep(states):
         n = states.score.shape[0]
@@ -252,27 +262,46 @@ def _breakout_prep(config):
         grid = jnp.pad(grid, ((0, 0), (0, 0), (0, 24 - _BAND_COLS)),
                        constant_values=-1.0)          # [E, 24, 24]
 
+        # sprite table: paddle at lane/row 0, balls at 1..4
+        r = states.ball_radius
+        bx, by = states.ball_x, states.ball_y
         showb = ((states.ball_alive & ~states.reset[:, None]).astype(F32)
-                 * 2 - 1)
-        scal = jnp.concatenate([
-            states.paddle_x[:, None],
-            (states.paddle_width * 0.5)[:, None],
-            jnp.full((n, 1), pad_luma, F32),
-            jnp.full((n, 1), ball_luma, F32),
-            states.ball_radius[:, None],
-            states.ball_x, states.ball_y, showb,
-        ], axis=1).astype(F32)                         # [E, 17]
-        scal = jnp.pad(scal, ((0, 0), (0, 24 - scal.shape[1])))
-        # pack scalars as row 24 of the per-env data block ([E, 32, 24])
+                 * 2 - 1)                              # [E, 4]
+        one = jnp.ones((n, 1), F32)
+        pad11 = jnp.zeros((n, 11), F32)
+        pad8 = jnp.zeros((n, 24 - 16), F32)
+        ylo = jnp.concatenate([one * 143.0, by - r[:, None], pad11, pad8],
+                              axis=1)[:, None]         # row 24
+        yhi = jnp.concatenate([one * (143.0 + _PADDLE_H),
+                               by + r[:, None], pad11, pad8],
+                              axis=1)[:, None]         # row 25
+        shw = jnp.concatenate([one, showb, -jnp.ones((n, 11), F32), pad8],
+                              axis=1)[:, None]         # row 26
+        half = (states.paddle_width * 0.5)[:, None]
+        xlo = jnp.concatenate([states.paddle_x[:, None] - half,
+                               bx - r[:, None],
+                               jnp.zeros((n, 11), F32)], axis=1)
+        xhi = jnp.concatenate([states.paddle_x[:, None] + half,
+                               bx + r[:, None],
+                               jnp.zeros((n, 11), F32)], axis=1)
+        xcols = jnp.concatenate(
+            [xlo[:, :, None], xhi[:, :, None],
+             jnp.zeros((n, 16, 22), F32)], axis=2)     # rows 32..47
         return jnp.concatenate(
-            [grid, scal[:, None, :],
-             jnp.zeros((n, 32 - _BAND_ROWS - 1, 24), F32)], axis=1)
+            [grid, ylo, yhi, shw,
+             jnp.zeros((n, 5, 24), F32),               # rows 27..31
+             xcols], axis=1)
 
     return prep
 
 
 def _breakout_aux(config):
     return [_breakout_static_base(config), jnp.asarray(_COL_EXPAND)]
+
+
+def _breakout_lumas(config):
+    return (float(_luma_u32(np.asarray(config.paddle_color))),
+            float(_luma_u32(np.asarray(config.ball_color))))
 
 
 def make_breakout_gray_renderer(config, interpret=False):
@@ -283,10 +312,11 @@ def make_breakout_gray_renderer(config, interpret=False):
     non-TPU backends (tests), or use the XLA path in games/breakout.py.
     """
     prep, aux = _breakout_prep(config), _breakout_aux(config)
+    frame = _make_breakout_frame(*_breakout_lumas(config))
 
     def render(states):
-        return _frame_call(_breakout_frame, prep(states), aux,
-                           32, 24, (_H, _W), interpret, fused=False)
+        return _frame_call(frame, prep(states), aux,
+                           48, 24, (_H, _W), interpret, fused=False)
 
     return render
 
@@ -297,11 +327,12 @@ def make_breakout_gray_maxpool_renderer(config, interpret=False,
     render(s2)) — the skip-step max-pool fused into one kernel sweep.
     warp_to=84 additionally warps in-kernel -> u8[N, 84, 84]."""
     prep, aux = _breakout_prep(config), _breakout_aux(config)
+    frame = _make_breakout_frame(*_breakout_lumas(config))
 
     def render2(s1, s2):
         data = jnp.concatenate([prep(s1), prep(s2)], axis=1)
-        return _frame_call(_breakout_frame, data, aux,
-                           32, 24, (_H, _W), interpret, fused=True,
+        return _frame_call(frame, data, aux,
+                           48, 24, (_H, _W), interpret, fused=True,
                            warp_to=warp_to)
 
     return render2
