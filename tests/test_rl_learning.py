@@ -67,6 +67,31 @@ def test_dqn_learns_identity():
     assert acc >= 0.75, f"dqn failed: greedy accuracy {acc}"
 
 
+def test_dqn_param_noise_learns_identity():
+    """Parameter-space-noise exploration (reference
+    build_graph.py:146-279 act-with-param-noise): greedy w.r.t. a
+    perturbed network, adaptive scale chasing the eps-matched KL
+    threshold. The identity task is only solvable if the weight noise
+    actually explores all actions."""
+    from toybox_tpu.rl.dqn import make_dqn
+    env = make_discrete_identity_env(8, dim=DIM)
+    init_fn, cycle, qnet = make_dqn(
+        env, network="mlp", lr=5e-3, buffer_size=2048, batch_size=64,
+        train_freq=2, learning_starts=128, target_network_update_freq=100,
+        exploration_fraction=0.3, exploration_final_eps=0.02,
+        total_timesteps=4000, param_noise=True, param_noise_scale0=0.1,
+        network_kwargs=dict(num_hidden=32))
+    state = init_fn(0)
+    cyc = jax.jit(cycle, donate_argnums=(0,))
+    for _ in range(250):
+        state, metrics = cyc(state)
+    assert float(metrics["param_noise_scale"]) > 0.0
+    obs = jnp.eye(DIM, dtype=jnp.float32)
+    q = qnet.apply(state.params, obs)
+    acc = float(jnp.mean(jnp.argmax(q, -1) == jnp.arange(DIM)))
+    assert acc >= 0.75, f"param-noise dqn failed: greedy accuracy {acc}"
+
+
 def test_trpo_learns_identity():
     from toybox_tpu.rl.trpo import make_trpo
     env = make_discrete_identity_env(16, dim=DIM)

@@ -1,10 +1,14 @@
 """DQN — deep Q-learning with device-resident replay.
 
 Semantics from the reference deepq (baselines/deepq/deepq.py:92-332 learn
-loop; build_graph.py:146-449 double-Q + dueling; replay_buffer.py ring +
-prioritized). Atari defaults from deepq/defaults.py:1-17 (conv_only,
-prioritized, dueling, buffer 10k, lr 1e-4, train_freq 4, target sync 1k,
-exploration 10% of training to eps .01).
+loop; build_graph.py:146-449 double-Q + dueling + the act-with-param-noise
+graph; replay_buffer.py ring + prioritized). Atari defaults from
+deepq/defaults.py:1-17 (conv_only, prioritized, dueling, buffer 10k,
+lr 1e-4, train_freq 4, target sync 1k, exploration 10% of training to
+eps .01). param_noise=True switches exploration to parameter-space noise:
+actions are greedy w.r.t. a perturbed copy of the network, re-perturbed
+each cycle, with the noise stddev adapted toward the epsilon-matched KL
+threshold -log(1 - eps + eps/|A|) (build_graph.py:263-279).
 
 TPU-native design: the replay buffer is a fixed-capacity ring of device
 arrays; prioritized sampling uses a Gumbel-top-k draw over log-priorities
@@ -127,6 +131,17 @@ class DQNState:
     replay: Replay
     key: jnp.ndarray
     t: jnp.ndarray          # env frames so far (for epsilon)
+    pn_scale: jnp.ndarray   # f32 adaptive param-noise stddev
+
+
+def _perturb(params, key, scale):
+    """params + N(0, scale) on every weight (reference
+    build_graph.py:176-207 perturbable-vars loop)."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(key, len(leaves))
+    noisy = [p + scale * jax.random.normal(k, p.shape, p.dtype)
+             for p, k in zip(leaves, keys)]
+    return jax.tree_util.tree_unflatten(treedef, noisy)
 
 
 def make_dqn(env_fns, *, network="conv_only", lr=1e-4, gamma=0.99,
@@ -136,6 +151,7 @@ def make_dqn(env_fns, *, network="conv_only", lr=1e-4, gamma=0.99,
              total_timesteps=100_000, prioritized_replay=True,
              prioritized_replay_alpha=0.6, prioritized_replay_beta0=0.4,
              dueling=True, double_q=True, grad_norm_clipping=10.0,
+             param_noise=False, param_noise_scale0=0.01,
              network_kwargs=None):
     num_envs = env_fns.num_envs
     obs_shape = tuple(env_fns.obs_shape)
@@ -162,7 +178,8 @@ def make_dqn(env_fns, *, network="conv_only", lr=1e-4, gamma=0.99,
                       target_params=jax.tree_util.tree_map(jnp.array, params),
                       opt_state=tx.init(params), env_state=env_state,
                       replay=make_replay(buffer_size, obs_shape, obs_dtype),
-                      key=key, t=jnp.asarray(0, I32))
+                      key=key, t=jnp.asarray(0, I32),
+                      pn_scale=jnp.asarray(param_noise_scale0, F32))
         return jax.tree_util.tree_map(jnp.array, st)
 
     def _epsilon(t):
@@ -175,20 +192,34 @@ def make_dqn(env_fns, *, network="conv_only", lr=1e-4, gamma=0.99,
                                                   - prioritized_replay_beta0)
 
     def cycle(state: DQNState):
-        """train_freq env steps (epsilon-greedy) + one sgd step + masked
+        """train_freq env steps (epsilon-greedy, or greedy w.r.t. a
+        parameter-noise-perturbed network) + one sgd step + masked
         target sync."""
         eps = _epsilon(state.t)
+
+        key0 = state.key
+        if param_noise:
+            # fresh perturbation each cycle (reference re-perturbs on
+            # every episode reset / scale update, build_graph.py:256-262)
+            key0, pkey = jax.random.split(key0)
+            act_params = _perturb(state.params, pkey, state.pn_scale)
+        else:
+            act_params = state.params
 
         def env_body(carry, _):
             env_state, replay, key = carry
             obs = env_state.frames
             key, akey, rkey = jax.random.split(key, 3)
-            q = qnet.apply(state.params, obs)
+            q = qnet.apply(act_params, obs)
             greedy = jnp.argmax(q, axis=-1)
-            rand = jax.random.randint(rkey, (num_envs,), 0,
-                                      env_fns.num_actions)
-            explore = jax.random.uniform(akey, (num_envs,)) < eps
-            actions = jnp.where(explore, rand, greedy).astype(I32)
+            if param_noise:
+                # exploration comes from the weight noise itself
+                actions = greedy.astype(I32)
+            else:
+                rand = jax.random.randint(rkey, (num_envs,), 0,
+                                          env_fns.num_actions)
+                explore = jax.random.uniform(akey, (num_envs,)) < eps
+                actions = jnp.where(explore, rand, greedy).astype(I32)
             env_state, next_obs, rewards, dones, _ = env_fns.step(env_state,
                                                                   actions)
             replay = replay_add(replay, obs, env_state.frames, actions,
@@ -196,7 +227,7 @@ def make_dqn(env_fns, *, network="conv_only", lr=1e-4, gamma=0.99,
             return (env_state, replay, key), None
 
         (env_state, replay, key), _ = jax.lax.scan(
-            env_body, (state.env_state, state.replay, state.key), None,
+            env_body, (state.env_state, state.replay, key0), None,
             length=train_freq)
 
         t = state.t + train_freq * num_envs
@@ -250,11 +281,30 @@ def make_dqn(env_fns, *, network="conv_only", lr=1e-4, gamma=0.99,
             lambda p, tp: jnp.where(sync, p, tp), params,
             state.target_params)
 
+        # adaptive param-noise scale (reference build_graph.py:263-279 +
+        # deepq.py:201-207): perturb an adaptive copy, measure the mean
+        # KL between softmax(q) and softmax(q_perturbed) on the sampled
+        # batch, and walk the scale toward the epsilon-matched threshold
+        # -log(1 - eps + eps/|A|).
+        pn_scale = state.pn_scale
+        if param_noise:
+            key, adkey = jax.random.split(key)
+            ad_params = _perturb(params, adkey, pn_scale)
+            logp = jax.nn.log_softmax(qnet.apply(params, bobs))
+            logq = jax.nn.log_softmax(qnet.apply(ad_params, bobs))
+            kl = jnp.mean(jnp.sum(jnp.exp(logp) * (logp - logq), axis=-1))
+            threshold = -jnp.log(1.0 - eps + eps / env_fns.num_actions)
+            pn_scale = jnp.where(kl > threshold, pn_scale / 1.01,
+                                 pn_scale * 1.01)
+
         metrics = dict(loss=loss, epsilon=eps,
                        mean_q=jnp.mean(jnp.abs(td)))
+        if param_noise:
+            metrics["param_noise_scale"] = pn_scale
         return DQNState(params=params, target_params=target_params,
                         opt_state=opt_state, env_state=env_state,
-                        replay=replay, key=key, t=t), metrics
+                        replay=replay, key=key, t=t,
+                        pn_scale=pn_scale), metrics
 
     return init_fn, cycle, qnet
 
@@ -265,9 +315,9 @@ def learn(*, env=None, game="breakout", num_envs=4, total_timesteps=100_000,
           train_freq=4, batch_size=32, learning_starts=1000,
           target_network_update_freq=1000, gamma=0.99,
           prioritized_replay=True, dueling=True, double_q=True,
-          log_interval=500, save_path=None, load_path=None, logger=None,
-          network_kwargs=None, checkpoint_path=None, checkpoint_freq=50,
-          **_ignored):
+          param_noise=False, log_interval=500, save_path=None,
+          load_path=None, logger=None, network_kwargs=None,
+          checkpoint_path=None, checkpoint_freq=50, **_ignored):
     env_fns = env if env is not None else make_rl_env(game, num_envs)
 
     init_fn, cycle, _ = make_dqn(
@@ -279,7 +329,8 @@ def learn(*, env=None, game="breakout", num_envs=4, total_timesteps=100_000,
         exploration_final_eps=exploration_final_eps,
         total_timesteps=total_timesteps,
         prioritized_replay=prioritized_replay, dueling=dueling,
-        double_q=double_q, network_kwargs=network_kwargs)
+        double_q=double_q, param_noise=param_noise,
+        network_kwargs=network_kwargs)
 
     state = init_fn(seed)
     if load_path is not None:

@@ -170,6 +170,21 @@ def train(args, extra_kwargs):
     if args.network:
         kwargs["network"] = args.network
 
+    # --weights=[w_toybox, w_ale] mixed-env sampling (reference
+    # run.py:73-74,124-125: popped from alg kwargs, routed to env
+    # construction). Toybox-only weights are the identity; true mixing
+    # needs the ALE twin (SampleEnvs in envs/wrappers.py), which the
+    # device-resident training path cannot step — and ale_py is not
+    # vendored here. Fail loudly instead of silently ignoring.
+    weights = kwargs.pop("weights", None)
+    if weights and any(float(w) > 0 for w in list(weights)[1:]):
+        raise NotImplementedError(
+            "--weights mixing with the ALE twin needs gym-path envs: "
+            "build them with toybox_tpu.envs.vec_env.make_vec_env("
+            f"{args.env!r}, sample_weights={list(weights)!r}) "
+            "(requires ale_py for the complement env); the jitted "
+            "device training path steps Toybox engines only")
+
     # rank-0-only logging (reference run.py:186-191)
     lg = tb_logger.configure(dir=args.log_path if rank0 else None,
                              format_strs=None if rank0 else [])
