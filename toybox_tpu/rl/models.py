@@ -31,9 +31,17 @@ def get_network_builder(name: str) -> Callable:
     if callable(name):
         return name
     try:
-        return _REGISTRY[name]
+        builder = _REGISTRY[name]
     except KeyError:
         raise ValueError(f"unknown network {name!r}; have {sorted(_REGISTRY)}")
+
+    def build(**kwargs):
+        # allow --dtype=bfloat16 from the CLI extras (strings -> dtypes)
+        if isinstance(kwargs.get("dtype"), str):
+            kwargs["dtype"] = jnp.dtype(kwargs["dtype"])
+        return builder(**kwargs)
+
+    return build
 
 
 def _norm_obs(x, dtype):
