@@ -264,6 +264,7 @@ def _shields_vs_lasers(config: Config, alpha, lx, ly, from_above, active):
     iota-compare masks over the (tiny) shield sprites — a per-laser scan
     with dynamic-index gathers was ~5x the cost of the whole engine step.
     """
+    U32 = jnp.uint32
     sp = _shield_pos_arr(config)
     sx = sp[:, 0]                                # [S]
     sy = sp[:, 1]
@@ -271,22 +272,39 @@ def _shields_vs_lasers(config: Config, alpha, lx, ly, from_above, active):
     py = ly[:, None] - sy[None, :]
     inside = (px >= 0) & (px < SHIELD_W) & (py >= 0) & (py < SHIELD_H)
 
-    ys = jax.lax.broadcasted_iota(I32, (SHIELD_H, SHIELD_W), 0)
-    xs = jax.lax.broadcasted_iota(I32, (SHIELD_H, SHIELD_W), 1)
-    at_tip = ((xs[None, None] == px[:, :, None, None])
-              & (ys[None, None] == py[:, :, None, None]))  # [L,S,H,W]
-    solid = jnp.any(at_tip & alpha[None], axis=(2, 3))     # [L, S]
-    hit = inside & solid & active[:, None]                 # [L, S]
+    # Shield rows packed as u32 bitmasks (SHIELD_W=16 bits): the whole
+    # test + erosion runs on [L, S, H] integers instead of [L, S, H, W]
+    # pixel masks — 16x less element work (bit-exact: pure bool/int).
+    wbit = (jnp.uint32(1) << jnp.arange(SHIELD_W, dtype=U32))
+    bits = jnp.sum(alpha.astype(U32) * wbit[None, None, :], axis=-1,
+                   dtype=U32)                    # [S, H]
+
+    hs = jnp.arange(SHIELD_H, dtype=I32)         # [H]
+    pxc = jnp.clip(px, 0, SHIELD_W - 1).astype(U32)
+    row_bits = jnp.sum(
+        jnp.where(hs[None, None, :] == py[:, :, None], bits[None], 0),
+        axis=-1, dtype=U32)                      # [L, S]
+    solid = ((row_bits >> pxc) & 1) == 1
+    hit = inside & solid & active[:, None]       # [L, S]
 
     # blast: clear a 4-wide x 6-tall patch at the impact, biased in the
     # laser's travel direction
     y0 = jnp.where(from_above[:, None], py, py - 5)        # [L, S]
-    blast = ((xs[None, None] >= (px - 1)[:, :, None, None])
-             & (xs[None, None] <= (px + 2)[:, :, None, None])
-             & (ys[None, None] >= y0[:, :, None, None])
-             & (ys[None, None] < (y0 + 6)[:, :, None, None])
-             & hit[:, :, None, None])
-    new_alpha = alpha & ~jnp.any(blast, axis=0)
+    patch = jnp.zeros_like(row_bits)             # u32 [L, S]
+    for j in range(-1, 3):                       # columns px-1 .. px+2
+        col = px + j
+        ok = (col >= 0) & (col < SHIELD_W)
+        sh = jnp.clip(col, 0, SHIELD_W - 1).astype(U32)
+        patch = patch | jnp.where(ok, jnp.uint32(1) << sh, 0)
+    rows_in = ((hs[None, None, :] >= y0[:, :, None])
+               & (hs[None, None, :] < (y0 + 6)[:, :, None]))   # [L, S, H]
+    blast_per_l = jnp.where(rows_in & hit[:, :, None],
+                            patch[:, :, None], 0)              # [L, S, H]
+    blast_bits = jax.lax.reduce(blast_per_l, jnp.uint32(0),
+                                jax.lax.bitwise_or, (0,))      # [S, H]
+    new_bits = bits & ~blast_bits
+    new_alpha = ((new_bits[:, :, None] >> jnp.arange(
+        SHIELD_W, dtype=U32)[None, None, :]) & 1).astype(jnp.bool_)
     return new_alpha, jnp.any(hit, axis=1)
 
 
