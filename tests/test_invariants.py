@@ -100,3 +100,93 @@ def test_si_shield_erosion_monotone(seed):
             if level == prev_level:
                 assert cells <= prev_cells, "shield pixels restored"
             prev_cells, prev_level = cells, level
+
+
+@pytest.mark.parametrize("seed", list(range(4)))
+def test_si_shield_bitmask_matches_dense_semantics(seed):
+    """The u32-bitmask shield logic (games/space_invaders.py
+    _shields_vs_lasers) must equal the straightforward dense-pixel
+    semantics: a laser hits iff its tip pixel is solid inside a shield;
+    a hit clears a 4-wide x 6-tall patch biased in the travel
+    direction."""
+    import jax.numpy as jnp
+    import toybox_tpu.games.space_invaders as si
+
+    rng = np.random.RandomState(seed)
+    cfg = si.default_config()
+    sp = np.asarray(si._shield_pos_arr(cfg))
+    S, H, W = len(sp), si.SHIELD_H, si.SHIELD_W
+    L = 5
+    alpha = rng.rand(S, H, W) < 0.7
+    # scatter tips: some inside shields, some outside
+    lx = rng.randint(0, si.WIDTH, size=L)
+    ly = rng.randint(100, 200, size=L)
+    # aim a couple of lasers straight at shield interiors
+    lx[0] = sp[0, 0] + 5
+    ly[0] = sp[0, 1] + 3
+    lx[1] = sp[-1, 0] + 12
+    ly[1] = sp[-1, 1] + 10
+    above = rng.rand(L) < 0.5
+    active = np.ones(L, bool)
+    active[-1] = False
+
+    got_alpha, got_hit = si._shields_vs_lasers(
+        cfg, jnp.asarray(alpha), jnp.asarray(lx), jnp.asarray(ly),
+        jnp.asarray(above), jnp.asarray(active))
+
+    # dense reference
+    exp_alpha = alpha.copy()
+    exp_hit = np.zeros(L, bool)
+    for li in range(L):
+        for s in range(S):
+            px, py = lx[li] - sp[s, 0], ly[li] - sp[s, 1]
+            inside = 0 <= px < W and 0 <= py < H
+            if not (inside and active[li] and alpha[s, py, px]):
+                continue
+            exp_hit[li] = True
+            y0 = py if above[li] else py - 5
+            for yy in range(max(y0, 0), min(y0 + 6, H)):
+                for xx in range(max(px - 1, 0), min(px + 3, W)):
+                    exp_alpha[s, yy, xx] = False
+    np.testing.assert_array_equal(np.asarray(got_hit), exp_hit)
+    np.testing.assert_array_equal(np.asarray(got_alpha), exp_alpha)
+
+
+@pytest.mark.parametrize("seed", list(range(4)))
+def test_amidar_mxu_route_lookup_matches_indexing(seed):
+    """The MXU-factored route lookup in _step_enemies must equal plain
+    routes_flat[route_index * MAX_ROUTE + next] indexing for every
+    enemy, including -1 route padding."""
+    import jax
+    import jax.numpy as jnp
+    import toybox_tpu.games.amidar as am
+
+    rng = np.random.RandomState(seed)
+    cfg = am.default_config()
+    state = am.new_game(cfg, seed=np.uint32(seed))
+    routes = np.asarray(cfg.routes_flat)
+    E = am.MAX_ENEMIES
+    ridx = rng.randint(0, E, size=E)
+    nxt = rng.randint(0, am.MAX_ROUTE, size=E)
+    # force some cursors onto padding entries
+    nxt[0] = am.MAX_ROUTE - 1
+    state = state.replace(
+        enemy_route_index=jnp.asarray(ridx, jnp.int32),
+        enemy_next=jnp.asarray(nxt, jnp.int32),
+        # place every enemy exactly on its current target so the lookup
+        # fires (reached=True) and target_new becomes the next target;
+        # force existence / LookupAI / tile-centering so no gating
+        # select masks the looked-up value away
+        enemy_route_len=jnp.full(E, am.MAX_ROUTE, jnp.int32),
+        enemy_exists=jnp.ones(E, bool),
+        enemy_protocol=jnp.full(E, am.P_LOOKUP, jnp.int32),
+        enemy_x=jnp.full(E, 5 * am.WORLD_TX, jnp.int32),
+        enemy_y=jnp.full(E, 0, jnp.int32),
+    )
+    flat = np.asarray((state.enemy_y // am.WORLD_TY) * am.BOARD_W
+                      + state.enemy_x // am.WORLD_TX)
+    state = state.replace(enemy_target=jnp.asarray(flat, jnp.int32))
+    bits = jnp.zeros(E, jnp.uint32)
+    out = jax.jit(lambda s: am._step_enemies(cfg, s, bits))(state)
+    expected = routes[ridx * am.MAX_ROUTE + (nxt + 1) % am.MAX_ROUTE]
+    np.testing.assert_array_equal(np.asarray(out.enemy_target), expected)
