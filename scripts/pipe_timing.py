@@ -1,4 +1,4 @@
-"""Fresh-process SI real-pipeline timing: python _si_pipe.py [inkernel]"""
+"""Fresh-process SI real-pipeline timing: python scripts/pipe_timing.py [inkernel] [game]"""
 import sys, time, jax, jax.numpy as jnp
 N, STEPS = 1024, 64
 GAME = sys.argv[2] if len(sys.argv) > 2 else "space_invaders"
