@@ -273,3 +273,49 @@ def learn(*, env=None, game="breakout", num_envs=16, total_timesteps=100_000,
     if save_path is not None:
         save_params(save_path, state.params)
     return state
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip dry run (driver contract: __graft_entry__.dryrun_multichip)
+# ---------------------------------------------------------------------------
+
+def dryrun(n_devices: int, game: str = "breakout") -> None:
+    """Jit the full ACKTR train step over an n-device mesh and run one
+    step on tiny shapes. Structurally distinct from PPO's dp: the
+    Kronecker statistics (per-layer activation/grad second moments) are
+    batch reductions over the sharded rollout, so the K-FAC factors are
+    all-reduced across devices before the EMA + O(n^3) inversion (which
+    runs replicated), not just the gradients."""
+    import numpy as _np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devices = jax.devices()[:n_devices]
+    mesh = Mesh(_np.array(devices), ("env",))
+    num_envs = 2 * n_devices
+
+    # frame_size 36 keeps the fc0 Kronecker factor tiny (the 84x84 trunk
+    # gives a 3137-dim factor whose test-time inverse would dominate a
+    # CPU dryrun); the conv stack still composes exactly as at 84.
+    env_fns = make_rl_env(game, num_envs, frame_size=36)
+    init_fn, train_step, _ = make_acktr(env_fns, nsteps=4, hidden=32,
+                                        invert_every=1, total_updates=1)
+    state = init_fn(0)
+
+    shard = NamedSharding(mesh, P("env"))
+    repl = NamedSharding(mesh, P())
+    env_state = jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, shard if (x.ndim >= 1 and x.shape[0] == num_envs) else repl),
+        state.env_state)
+    state = state.replace(
+        env_state=env_state,
+        params=jax.device_put(state.params, repl),
+        opt_state=jax.device_put(state.opt_state, repl),
+        kfac_stats=jax.device_put(state.kfac_stats, repl),
+        kfac_inv=jax.device_put(state.kfac_inv, repl),
+        key=jax.device_put(state.key, repl),
+        update=jax.device_put(state.update, repl),
+    )
+    with mesh:
+        state, metrics = jax.jit(train_step, donate_argnums=(0,))(state)
+    jax.block_until_ready(metrics)

@@ -375,3 +375,54 @@ def learn(*, env=None, game="breakout", num_envs=4, total_timesteps=100_000,
     if save_path is not None:
         save_params(save_path, state.params)
     return state
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip dry run (driver contract: __graft_entry__.dryrun_multichip)
+# ---------------------------------------------------------------------------
+
+def dryrun(n_devices: int, game: str = "breakout") -> None:
+    """Jit one full DQN cycle over an n-device mesh and run it on tiny
+    shapes. Structurally distinct from PPO's dp: the replay ring is
+    DISTRIBUTED — sharded on its capacity axis so each device holds a
+    slice of the transition store; inserts land on the writer's shard
+    and the prioritized Gumbel-max sample reduces across all shards
+    (XLA inserts the collectives)."""
+    import numpy as _np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devices = jax.devices()[:n_devices]
+    mesh = Mesh(_np.array(devices), ("env",))
+    num_envs = 2 * n_devices
+    capacity = 16 * n_devices
+
+    env_fns = make_rl_env(game, num_envs, frame_size=84)
+    init_fn, cycle, _ = make_dqn(
+        env_fns, network="cnn_small", buffer_size=capacity, batch_size=8,
+        train_freq=2, learning_starts=0, total_timesteps=64,
+        prioritized_replay=True, dueling=True, double_q=True)
+    state = init_fn(0)
+
+    shard = NamedSharding(mesh, P("env"))
+    repl = NamedSharding(mesh, P())
+
+    def put(tree, leading):
+        """Shard leaves whose leading axis == `leading`; replicate rest."""
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                x, shard if (x.ndim >= 1 and x.shape[0] == leading)
+                else repl), tree)
+
+    state = state.replace(
+        env_state=put(state.env_state, num_envs),
+        replay=put(state.replay, capacity),
+        params=jax.device_put(state.params, repl),
+        target_params=jax.device_put(state.target_params, repl),
+        opt_state=jax.device_put(state.opt_state, repl),
+        key=jax.device_put(state.key, repl),
+        t=jax.device_put(state.t, repl),
+        pn_scale=jax.device_put(state.pn_scale, repl),
+    )
+    with mesh:
+        state, metrics = jax.jit(cycle, donate_argnums=(0,))(state)
+    jax.block_until_ready(metrics)
