@@ -28,7 +28,12 @@ def test_bench_cli_json_line(monkeypatch):
     assert len(printed) == 1
     rec = json.loads(printed[0])
     for key in ("metric", "value", "unit", "vs_baseline", "measures",
-                "pipeline_frames_per_s", "pipeline_measures"):
+                "games", "pipeline_measures"):
         assert key in rec, f"missing {key}"
     assert rec["unit"] == "steps/s"
     assert rec["vs_baseline"] == round(12_345_678.0 / 1e7, 4)
+    # all three games reported, each with state-step + pipeline rates
+    assert set(rec["games"]) == {"breakout", "amidar", "space_invaders"}
+    for g in rec["games"].values():
+        assert g["env_steps_per_s"] > 0
+        assert g["pipeline_frames_per_s"] > 0

@@ -98,3 +98,48 @@ def test_mock_ale_surface():
     assert not env.ale.game_over()
     assert env.get_action_meanings()[0] == "NOOP"
     env.close()
+
+
+def test_hotpatch_ale_noop_without_ale_py():
+    """Guarded real-ALE score hotpatch: returns False (no-op) when ale_py
+    is absent, and make_atari for a real-ALE id fails loudly."""
+    import pytest
+
+    from toybox_tpu.envs.wrappers import hotpatch_ale, make_atari
+
+    try:
+        import ale_py  # noqa: F401
+        has_ale = True
+    except ImportError:
+        has_ale = False
+
+    if not has_ale:
+        assert hotpatch_ale() is False
+        with pytest.raises(AssertionError, match="ale_py"):
+            make_atari("BreakoutNoFrameskip-v4")
+        return
+
+    # with ale_py present the patch applies and is idempotent
+    assert hotpatch_ale() is True
+    assert hotpatch_ale() is True
+    env = make_atari("BreakoutNoFrameskip-v4")
+    env.reset(seed=0)
+    _, _, _, _, info = env.step(0)
+    assert "score" in info
+    env.close()
+
+
+def test_sample_envs_mixing_weights():
+    """SampleEnvs picks between twin envs per episode by weight — with
+    weights [1, 0] every episode must come from the Toybox env (the ALE
+    twin is replaced by a second Toybox env when ale_py is absent)."""
+    from toybox_tpu.envs.atari import BreakoutEnv
+    from toybox_tpu.envs.wrappers import SampleEnvs
+
+    a, b = BreakoutEnv(frameskip=1), BreakoutEnv(frameskip=1)
+    env = SampleEnvs([a, b], [1.0, 0.0])
+    for _ in range(3):
+        env.reset(seed=0)
+        assert env.current is a
+        env.step(0)
+    env.close()

@@ -248,3 +248,53 @@ def test_expert_extraction_from_committed_model():
     assert obs.shape == (32, 84, 84, 4)
     assert acts.shape == (32,)
     assert acts.min() >= 0 and acts.max() < env.num_actions
+
+
+def test_reset_to_injects_state_batched():
+    """env.reset_to starts every env from an intervened single-env state
+    (the batched write_state_json analog): a LastBrick board injected
+    into the batched env leaves exactly one live brick in all envs."""
+    import jax
+    import jax.numpy as jnp
+
+    from toybox_tpu import Toybox
+    from toybox_tpu.envs.batched import make_batched_env
+    from toybox_tpu.games import breakout as bk
+    from toybox_tpu.interventions.breakout import BreakoutIntervention
+
+    tb = Toybox("breakout", seed=0)
+    with BreakoutIntervention(tb) as iv:
+        for i, brick in enumerate(iv.game.bricks):
+            brick.alive = (i == 50)
+    st_js = tb.to_state_json()
+
+    env = make_batched_env("breakout", 3, obs_mode="none")
+    tree = bk.state_from_json(bk.default_config(), st_js)
+    state, _ = jax.jit(env.reset_to)(tree, jnp.arange(3, dtype=jnp.uint32))
+    alive = np.asarray(state.game.brick_alive)
+    assert alive.shape[0] == 3 and (alive.sum(axis=1) == 1).all()
+    # per-env rng was reseeded -> differs across envs
+    rngs = np.asarray(state.game.rng)
+    assert not (rngs[0] == rngs[1]).all()
+    # reseed=False replays the stored rng bit-exactly everywhere
+    state2, _ = jax.jit(
+        lambda t, s: env.reset_to(t, s, reseed=False))(
+            tree, jnp.arange(3, dtype=jnp.uint32))
+    rngs2 = np.asarray(state2.game.rng)
+    assert (rngs2[0] == rngs2[1]).all()
+    # stepping from the injected state works
+    state, _, _, _, _ = jax.jit(env.step)(state, jnp.zeros(3, jnp.int32))
+
+
+def test_behavioral_gate_batched_runner():
+    """The gate workflow end-to-end on a tiny budget: intervention capture
+    -> batched reset_to -> scan play -> failable check (LastBrick scores 0
+    under a 100-frame random-weight policy, so its check FAILS — proving
+    both the injection and that the check can fail)."""
+    from toybox_tpu.sample_tests.runner import run_scenario
+    from toybox_tpu.sample_tests.test_breakout import LastBrick
+
+    r = run_scenario(LastBrick, params=None, alg="ppo", network="cnn_small",
+                     episodes=2, seed=0, max_frames=100)
+    assert r["scores"] == [0.0, 0.0]
+    assert r["passed"] is False

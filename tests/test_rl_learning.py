@@ -397,3 +397,22 @@ def test_expert_dataset_pipeline_roundtrip(tmp_path):
     o2, a2 = load_expert_dataset(p)
     np.testing.assert_array_equal(obs, o2)
     np.testing.assert_array_equal(acts, a2)
+
+
+def test_recurrent_a2c_learns_fixed_sequence():
+    """a2c accepts the registered recurrent networks like the reference's
+    build_policy does for every alg (common/models.py:79-160): a2c+lstm
+    must memorize the sequence where feedforward a2c cannot."""
+    from toybox_tpu.rl.a2c import make_recurrent_a2c
+    n_act = 3
+    env = make_fixed_sequence_env(16, n_actions=n_act, episode_len=8)
+    init_fn, step = make_recurrent_a2c(
+        env, network="lstm", nlstm=32, nsteps=8, lr=5e-3, gamma=0.5,
+        ent_coef=0.01, total_updates=4000, network_kwargs=dict(num_hidden=32))
+    state = init_fn(0)
+    sj = jax.jit(step, donate_argnums=(0,))
+    last = None
+    for _ in range(400):
+        state, last = sj(state)
+    r = float(last["mean_reward"])
+    assert r > 0.6, f"recurrent a2c failed to memorize the sequence: {r}"

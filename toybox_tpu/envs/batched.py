@@ -58,6 +58,9 @@ class BatchedEnvFns:
     # engine frames consumed per step() call (frameskip pipelines set >1 so
     # trainers can account timesteps without hardcoding a skip of 4)
     frames_per_step: int = 1
+    # (tree, seeds, reseed=True) -> (state, obs): start every env from a
+    # single-env game-state pytree (batched write_state_json analog)
+    reset_to: Callable = None
 
 
 def _make_obs_fn(module, obs_mode):
@@ -88,9 +91,7 @@ def make_batched_env(game_name: str, num_envs: int, config=None,
     def new_games(seeds):
         return jax.vmap(lambda s: module.new_game(config, seed=s))(seeds)
 
-    def reset(seeds):
-        seeds = jnp.asarray(seeds, jnp.uint32)
-        game = new_games(seeds)
+    def _wrap(game, seeds):
         state = EnvState(
             game=game,
             prev_score=jax.vmap(module.score)(game).astype(I32),
@@ -100,6 +101,27 @@ def make_batched_env(game_name: str, num_envs: int, config=None,
         )
         obs = jax.vmap(obs_fn, in_axes=(None, 0))(config, game)
         return state, obs
+
+    def reset(seeds):
+        seeds = jnp.asarray(seeds, jnp.uint32)
+        return _wrap(new_games(seeds), seeds)
+
+    def reset_to(tree, seeds, reseed: bool = True):
+        """Start every env from ``tree`` — a SINGLE env's game-state pytree
+        (e.g. ``module.state_from_json(...)``: the batched analog of the
+        reference's ``write_state_json``, used by the behavioral scenarios
+        and state-checkpoint restore). With ``reseed`` (default) each env's
+        engine rng is re-derived from its seed so stochastic branches
+        decorrelate across the batch; ``reseed=False`` replays the stored
+        rng bit-exactly in every env."""
+        seeds = jnp.asarray(seeds, jnp.uint32)
+        game = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(
+                jnp.asarray(x)[None], (num_envs,) + jnp.asarray(x).shape),
+            tree)
+        if reseed:
+            game = game.replace(rng=jax.vmap(_rng.seed)(seeds))
+        return _wrap(game, seeds)
 
     def step(state: EnvState, actions):
         """actions: i32[N] indices into the legal action set."""
@@ -149,7 +171,7 @@ def make_batched_env(game_name: str, num_envs: int, config=None,
     return BatchedEnvFns(
         game_name=game_name, num_envs=num_envs, obs_mode=obs_mode,
         reset=reset, step=step, obs_shape=obs_shape,
-        num_actions=len(legal), legal_actions=legal)
+        num_actions=len(legal), legal_actions=legal, reset_to=reset_to)
 
 
 class BatchedEnv:

@@ -110,13 +110,22 @@ def make_rl_env(game_name: str, num_envs: int, config=None, skip: int = 4,
         def render_max_warp(g1, g2):
             return warp(jnp.maximum(render_gray(g1), render_gray(g2)))
 
-    def reset(seeds):
-        env_state, _ = inner.reset(seeds)
+    def _wrap(env_state):
         frame = warp(render_gray(env_state.game))          # [N, 84, 84]
         stack = jnp.repeat(frame[:, None], frame_stack, axis=1)
         lives = jax.vmap(module.lives)(env_state.game).astype(I32)
         state = PipelineState(env=env_state, stack=stack, lives=lives)
         return state, state.frames
+
+    def reset(seeds):
+        env_state, _ = inner.reset(seeds)
+        return _wrap(env_state)
+
+    def reset_to(tree, seeds, reseed: bool = True):
+        """Start every env from a single-env game-state pytree (see
+        BatchedEnvFns.reset_to); the obs stack restarts from its frame."""
+        env_state, _ = inner.reset_to(tree, seeds, reseed=reseed)
+        return _wrap(env_state)
 
     def step(state: PipelineState, actions):
         env_state = state.env
@@ -166,4 +175,4 @@ def make_rl_env(game_name: str, num_envs: int, config=None, skip: int = 4,
         game_name=game_name, num_envs=num_envs, obs_mode="stacked_gray",
         reset=reset, step=step, obs_shape=obs_shape,
         num_actions=inner.num_actions, legal_actions=inner.legal_actions,
-        frames_per_step=skip)
+        frames_per_step=skip, reset_to=reset_to)

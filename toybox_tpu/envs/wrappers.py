@@ -235,6 +235,52 @@ class SampleEnvs(gym.Wrapper):
         return self.current.step(action)
 
 
+def hotpatch_ale() -> bool:
+    """Patch the real-ALE AtariEnv.step so it reports the running game
+    score in ``info`` — the reference's import-time hotpatch
+    (atari_wrappers.py:19-45), which the mixed Toybox/ALE ``SampleEnvs``
+    path needs because ALE only exposes per-step reward deltas while the
+    Toybox envs report an absolute score.
+
+    Semantics mirror the reference exactly: ``info['score']`` is the
+    accumulated score BEFORE this step's reward, and the accumulator
+    zeroes on episode end. Guarded: returns False (no-op) when ale_py
+    isn't installed; idempotent otherwise.
+    """
+    try:
+        from ale_py.env import AtariEnv  # gymnasium-era ale_py
+    except ImportError:
+        try:  # legacy layout
+            from gym.envs.atari import AtariEnv  # type: ignore
+        except ImportError:
+            return False
+
+    if getattr(AtariEnv, "_toybox_tpu_score_patch", False):
+        return True
+    orig_step = AtariEnv.step
+
+    def step(self, action):
+        out = orig_step(self, action)
+        if len(out) == 5:  # gymnasium: obs, rew, terminated, truncated, info
+            obs, reward, terminated, truncated, info = out
+            done = bool(terminated) or bool(truncated)
+        else:              # legacy gym: obs, rew, done, info
+            obs, reward, done, info = out
+            terminated, truncated = done, False
+        score = getattr(self, "_toybox_tpu_score", 0.0)
+        info = dict(info)
+        info["score"] = score
+        info.setdefault("lives", self.ale.lives())
+        self._toybox_tpu_score = 0.0 if done else score + float(reward)
+        if len(out) == 5:
+            return obs, reward, terminated, truncated, info
+        return obs, reward, done, info
+
+    AtariEnv.step = step
+    AtariEnv._toybox_tpu_score_patch = True
+    return True
+
+
 TOYBOX_SUFFIX = "ToyboxNoFrameskip-v4"
 
 
@@ -252,6 +298,11 @@ def make_atari(env_id, max_episode_steps=None, sample_weights=None):
     import gymnasium
 
     def base(eid):
+        if "Toybox" not in eid:
+            # a real-ALE twin: needs the score hotpatch (and ale_py)
+            assert hotpatch_ale(), (
+                f"{eid} is a real-ALE env id but ale_py is not installed; "
+                f"install the ale extra or use the Toybox id")
         env = gymnasium.make(eid)
         env = NoopResetEnv(env, noop_max=30)
         env = MaxAndSkipEnv(env, skip=4)

@@ -24,6 +24,9 @@ def get_scenarios(game: str):
 
 def run_all(game: str, policy=None, episodes=None, seed=0,
             max_frames=None):
+    """Per-frame (single-env) smoke run of every scenario. Scenarios whose
+    check needs a control run report ``passed=None`` here — the full gate
+    (checks + controls, batched) is ``sample_tests.runner.run_all_gated``."""
     results = {}
     for scenario_cls in get_scenarios(game):
         s = scenario_cls(seed=seed)
@@ -34,6 +37,7 @@ def run_all(game: str, policy=None, episodes=None, seed=0,
         scores = s.run(policy=policy)
         results[scenario_cls.__name__] = {
             "scores": scores.tolist(),
-            "passed": bool(s.check(scores)),
+            "control": None,
+            "passed": (None if s.needs_control else bool(s.check(scores))),
         }
     return results

@@ -26,6 +26,9 @@ class BehavioralFixture(ABC):
     game: str = None
     n_episodes: int = 5
     max_frames: int = 20_000
+    #: run the same policy on the UNMODIFIED game too and pass those
+    #: scores to ``check(scores, control)`` (relative-degradation gates)
+    needs_control: bool = False
     timeout = property(lambda self: self.max_frames)
 
     def __init__(self, seed=0):
@@ -73,6 +76,8 @@ class BehavioralFixture(ABC):
             scores.append(tb.get_score())
         return np.asarray(scores)
 
-    def check(self, scores) -> bool:
-        """Default acceptance: agent still scores on average."""
+    def check(self, scores, control=None) -> bool:
+        """Default acceptance: agent still scores on average. Scenarios
+        override this with a failable claim about the TRAINED agent
+        (relative to ``control`` where needs_control is set)."""
         return float(np.mean(scores)) > 0

@@ -10,20 +10,27 @@ from toybox_tpu.sample_tests.base import BehavioralFixture
 
 
 class EZChannel(BehavioralFixture):
-    """A channel is pre-cut; a competent agent exploits it to finish the
-    board faster."""
+    """A channel is pre-cut. The board holds fewer points, but a robust
+    agent still plays — it must keep a solid fraction of its normal
+    score rather than stalling on the unfamiliar board."""
 
     game = "breakout"
     channel_col = 3
+    needs_control = True
+    # measured (Breakout.ppo1.model, chip, 2026-08-20): 1078 vs control
+    # 1618 -> ratio 0.67; gate at 0.25
 
     def intervene(self, tb):
         with BreakoutIntervention(tb) as iv:
             iv.add_channel(self.channel_col)
 
+    def check(self, scores, control=None):
+        return float(np.mean(scores)) >= 0.25 * float(np.mean(control))
+
 
 class LastBrick(BehavioralFixture):
-    """Only one brick remains; the agent should clear it (generalization
-    to a near-terminal state)."""
+    """Only one brick remains; the agent must clear it (generalization to
+    a near-terminal state it rarely visits during training)."""
 
     game = "breakout"
     max_frames = 30_000
@@ -37,15 +44,21 @@ class LastBrick(BehavioralFixture):
         return (tb.game_over()
                 or tb.rstate.breakout_bricks_remaining() == 0)
 
-    def check(self, scores):
-        # clearing the last brick scores its points
-        return bool(np.any(np.asarray(scores) > 0))
+    def check(self, scores, control=None):
+        # the lone brick is worth points, so score > 0 == cleared it;
+        # the agent must manage that in at least half the episodes
+        # (measured Breakout.ppo1.model, chip, 2026-08-20: 4/5 cleared)
+        return float(np.mean(np.asarray(scores) > 0)) >= 0.5
 
 
 class PolarStarts(BehavioralFixture):
-    """Ball always serves from the far-left start position."""
+    """Ball always serves from the far-left start position instead of a
+    random one of four — the agent must handle the skewed serve."""
 
     game = "breakout"
+    needs_control = True
+    # measured (Breakout.ppo1.model, chip, 2026-08-20): 1316 vs control
+    # 1618 -> ratio 0.81; gate at 0.25
 
     def intervene(self, tb):
         cfg = tb.config_to_json()
@@ -53,6 +66,9 @@ class PolarStarts(BehavioralFixture):
             {"x": 24.0, "y": 80.0, "angle_degrees": 30.0}]
         tb.write_config_json(cfg)
         tb.new_game()
+
+    def check(self, scores, control=None):
+        return float(np.mean(scores)) >= 0.25 * float(np.mean(control))
 
 
 SCENARIOS = [EZChannel, LastBrick, PolarStarts]

@@ -9,11 +9,25 @@ from toybox_tpu.interventions.space_invaders import SpaceInvadersIntervention
 from toybox_tpu.sample_tests.base import BehavioralFixture
 
 
-class NoShields(BehavioralFixture):
-    """All shield pixels cleared: the agent must dodge without cover."""
+class _RelativeCheck(BehavioralFixture):
+    needs_control = True
+    min_control_frac = 0.5
+
+    def check(self, scores, control=None):
+        return (float(np.mean(scores))
+                >= self.min_control_frac * float(np.mean(control)))
+
+
+class NoShields(_RelativeCheck):
+    """All shield pixels cleared: the agent must dodge without cover
+    while its shooting lanes are clear."""
 
     game = "space_invaders"
     max_frames = 8_000
+    # measured (SpaceInvaders.ppo1.model, chip, 2026-08-20): 1432 vs
+    # control 5388 -> ratio 0.27 (the agent leans on its cover); gate at
+    # 0.12 (~2x margin)
+    min_control_frac = 0.12
 
     def intervene(self, tb):
         with SpaceInvadersIntervention(tb) as iv:
@@ -23,12 +37,15 @@ class NoShields(BehavioralFixture):
                         px.a = 0
 
 
-class JitterVary(BehavioralFixture):
-    """Enemy-fire randomness (the jitter config knob) swept away from the
-    training value (reference space_invaders.py:165-170)."""
+class JitterVary(_RelativeCheck):
+    """Enemy-fire randomness (the jitter config knob) swept to fully
+    random, away from the training value (reference
+    space_invaders.py:165-170)."""
 
     game = "space_invaders"
     max_frames = 8_000
+    # measured (SpaceInvaders.ppo1.model, chip, 2026-08-20): 6516 vs
+    # control 5388 -> ratio 1.21 (robust to fire randomness); gate at 0.5
     jitter = 1.0
 
     def intervene(self, tb):
@@ -36,11 +53,16 @@ class JitterVary(BehavioralFixture):
             iv.set_jitter(self.jitter)
 
 
-class ShieldXs(BehavioralFixture):
-    """Shields moved to shifted x positions."""
+class ShieldXs(_RelativeCheck):
+    """Shields moved to shifted x positions: cover exists but not where
+    the agent learned it."""
 
     game = "space_invaders"
     max_frames = 8_000
+    # measured (SpaceInvaders.ppo1.model, chip, 2026-08-20): 632 vs
+    # control 5388 -> ratio 0.117 (misplaced cover is WORSE than none);
+    # gate at 0.05 (~2x margin)
+    min_control_frac = 0.05
     xs = [60, 124, 188]
 
     def intervene(self, tb):
