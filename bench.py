@@ -11,7 +11,10 @@ and a ``measures`` field says exactly what each number covers.
 
 Methodology mirrors the reference's FPS benchmark (reference
 test/benchmark.py:44-163 measures raw-engine and gym-wrapped FPS on CPU);
-here the whole vec-env is one jitted program. ``vs_baseline`` is measured
+here the whole vec-env is one jitted program. Scan lengths are long
+enough (2048 state steps / 256 pipeline steps per dispatch) to amortize
+the remote-tunnel dispatch floor (~24 ms/call — measured round 4: a
+256-step scan undersold breakout by ~30%). ``vs_baseline`` is measured
 against the driver-set north star of 10M env-steps/s/host at 8192 envs.
 """
 
@@ -40,7 +43,7 @@ def _time_rollouts(rollout, state, key, units_per_rep: float,
 
 
 def bench_env_steps(game: str = "breakout", n_envs: int = 8192,
-                    n_steps: int = 256, obs_mode: str = "none",
+                    n_steps: int = 2048, obs_mode: str = "none",
                     reps: int = 3) -> float:
     """State-only stepping rate (env-steps/s), no rendering."""
     from toybox_tpu.envs.batched import make_batched_env
@@ -65,7 +68,7 @@ def bench_env_steps(game: str = "breakout", n_envs: int = 8192,
 
 
 def bench_pipeline(game: str = "breakout", n_envs: int = 1024,
-                   n_steps: int = 64, reps: int = 3) -> float:
+                   n_steps: int = 256, reps: int = 3) -> float:
     """Render-inclusive training-pipeline rate (engine frames/s): fused
     step + render + max-pool + 84x84 warp + 4-stack, skip=4."""
     from toybox_tpu.envs.pipeline import make_rl_env
