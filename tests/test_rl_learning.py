@@ -416,3 +416,23 @@ def test_recurrent_a2c_learns_fixed_sequence():
         state, last = sj(state)
     r = float(last["mean_reward"])
     assert r > 0.6, f"recurrent a2c failed to memorize the sequence: {r}"
+
+
+def test_recurrent_acer_learns_fixed_sequence():
+    """ACER accepts the registered recurrent networks (reference
+    acer/policies.py lstm variant; replay re-runs the net from the zero
+    state with episode-start masks, acer.py:258)."""
+    from toybox_tpu.rl.acer import make_recurrent_acer
+    n_act = 3
+    env = make_fixed_sequence_env(16, n_actions=n_act, episode_len=8)
+    init_fn, cycle = make_recurrent_acer(
+        env, network="lstm", nlstm=32, nsteps=8, lr=1e-2, gamma=0.5,
+        replay_ratio=4, buffer_traj=10, ent_coef=0.001,
+        network_kwargs=dict(num_hidden=32))
+    state = init_fn(0)
+    sj = jax.jit(cycle, donate_argnums=(0,))
+    last = None
+    for _ in range(600):
+        state, last = sj(state)
+    r = float(last["mean_reward"])
+    assert r > 0.6, f"recurrent acer failed to memorize the sequence: {r}"
