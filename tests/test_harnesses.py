@@ -298,3 +298,20 @@ def test_behavioral_gate_batched_runner():
                      episodes=2, seed=0, max_frames=100)
     assert r["scores"] == [0.0, 0.0]
     assert r["passed"] is False
+
+
+def test_behavioral_runner_config_scenario_capture():
+    """Config-changing scenarios flow through the batched runner: the
+    captured config carries the intervention (jitter=1.0) and the env is
+    rebuilt from it."""
+    from toybox_tpu.games import space_invaders as si
+    from toybox_tpu.sample_tests.runner import capture_setup
+    from toybox_tpu.sample_tests.test_spaceinvaders import JitterVary
+
+    cfg_js, st_js = capture_setup(JitterVary(seed=0))
+    assert cfg_js["jitter"] == 1.0
+    cfg = si.config_from_json(cfg_js)
+    assert float(cfg.jitter) == 1.0
+    # and the state parses against that config
+    tree = si.state_from_json(cfg, st_js)
+    assert tree is not None

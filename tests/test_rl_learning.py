@@ -436,3 +436,21 @@ def test_recurrent_acer_learns_fixed_sequence():
         state, last = sj(state)
     r = float(last["mean_reward"])
     assert r > 0.6, f"recurrent acer failed to memorize the sequence: {r}"
+
+
+def test_ppo_learns_image_classification():
+    """The MnistEnv-pattern test (reference test_mnist.py): a conv policy
+    learns to classify the seeded class images well above chance."""
+    from toybox_tpu.rl.ppo import make_ppo
+    from toybox_tpu.rl.test_envs import make_image_class_env
+    env = make_image_class_env(16, n_classes=4, size=28, episode_len=4)
+    init_fn, step, _ = make_ppo(
+        env, network="cnn_small", nsteps=8, nminibatches=2, noptepochs=2,
+        lr=1e-3, cliprange=0.2, gamma=0.1, total_updates=200)
+    state = init_fn(0)
+    sj = jax.jit(step, donate_argnums=(0,))
+    last = None
+    for _ in range(200):
+        state, last = sj(state)
+    r = float(last["mean_reward"])
+    assert r > 0.6, f"ppo failed to classify images: {r} (chance 0.25)"

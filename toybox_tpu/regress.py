@@ -41,7 +41,7 @@ def play_games(game: str, params, network: str, n_games: int,
     recurrent = network in RECURRENT_NETWORKS
     if recurrent:
         p_init, p_step, carry_init = build_recurrent_eval_policy(
-            env.obs_shape, env.num_actions, network)
+            env.obs_shape, env.num_actions, network, alg=alg)
     else:
         p_init, p_step = build_eval_policy(alg, env.obs_shape,
                                            env.num_actions, network)
@@ -114,7 +114,7 @@ def main(argv=None):
         env = make_rl_env(game, 1)
         if network in RECURRENT_NETWORKS:
             p_init, _, _ = build_recurrent_eval_policy(
-                env.obs_shape, env.num_actions, network)
+                env.obs_shape, env.num_actions, network, alg=args.alg)
         else:
             p_init, _ = build_eval_policy(args.alg, env.obs_shape,
                                           env.num_actions, network)

@@ -82,17 +82,24 @@ RECURRENT_NETWORKS = ("lstm", "cnn_lstm", "cnn_lnlstm")
 
 
 def build_recurrent_eval_policy(obs_shape, action_space, network,
-                                nlstm=128, **network_kwargs):
+                                nlstm=128, alg="ppo", **network_kwargs):
     """(init_fn, step_fn, carry_init) for recurrent checkpoints
-    (ppo_recurrent): step_fn threads the LSTM carry + episode-boundary
-    flags, the way the reference --play loop threads model.initial_state
-    (run.py:211-246)."""
+    (ppo_recurrent / recurrent a2c / recurrent acer): step_fn threads the
+    LSTM carry + episode-boundary flags, the way the reference --play
+    loop threads model.initial_state (run.py:211-246). ACER checkpoints
+    carry a Q head instead of pi+V, so their params only fit the Q-head
+    module (same split as build_eval_policy)."""
     from toybox_tpu.rl.distributions import CategoricalPd
     from toybox_tpu.rl.models import LSTMTrunk
-    from toybox_tpu.rl.ppo_recurrent import RecurrentPolicyWithValue
 
     trunk = get_network_builder(network)(nlstm=nlstm, **network_kwargs)
-    module = RecurrentPolicyWithValue(trunk=trunk, n_actions=action_space)
+    if alg == "acer":
+        from toybox_tpu.rl.acer import RecurrentQPolicy
+        module = RecurrentQPolicy(trunk=trunk, n_actions=action_space)
+    else:
+        from toybox_tpu.rl.ppo_recurrent import RecurrentPolicyWithValue
+        module = RecurrentPolicyWithValue(trunk=trunk,
+                                          n_actions=action_space)
 
     def carry_init(n):
         return LSTMTrunk.initial_carry(n, nlstm)
@@ -107,6 +114,8 @@ def build_recurrent_eval_policy(obs_shape, action_space, network,
                                                 prev_done)
         pd = CategoricalPd(logits)
         actions = pd.sample(key)
+        if value.ndim == 2:  # acer Q head [N, nact] -> state value proxy
+            value = jnp.max(value, axis=-1)
         return actions, value, pd.neglogp(actions), new_carry
 
     return init_fn, step_fn, carry_init

@@ -161,3 +161,62 @@ def make_fixed_sequence_env(num_envs: int, n_actions: int = 10,
                          obs_mode="vector", reset=reset, step=step,
                          obs_shape=(1,), num_actions=n_actions,
                          legal_actions=tuple(range(n_actions)))
+
+
+@struct.dataclass
+class ImageClassState:
+    frames: jnp.ndarray     # u8[N, H, W, 1] current class image
+    target: jnp.ndarray     # i32[N] the correct class/action
+    t: jnp.ndarray          # i32[N]
+    key: jnp.ndarray
+
+
+def make_image_class_env(num_envs: int, n_classes: int = 10,
+                         size: int = 28, episode_len: int = 10,
+                         noise: float = 0.05, seed: int = 0):
+    """Image-classification-as-RL fixture — the reference's MnistEnv
+    analog (tests/envs/mnist_env.py: reward 1 for the correct digit
+    label each step). MNIST itself needs a download; here each class is
+    a fixed seeded random binary template, corrupted per-step with
+    pixel-flip noise — same test purpose: only a conv policy that reads
+    the IMAGE can beat 1/n_classes."""
+    tkey = jax.random.PRNGKey(seed)
+    templates = (jax.random.uniform(tkey, (n_classes, size, size, 1))
+                 < 0.5).astype(jnp.uint8) * 255
+
+    def _obs(cls, key):
+        img = templates[cls]                              # [N, H, W, 1]
+        flip = (jax.random.uniform(key, img.shape) < noise)
+        return jnp.where(flip, 255 - img, img).astype(jnp.uint8)
+
+    def reset(seeds):
+        key = jax.random.PRNGKey(0)
+        key = jax.random.fold_in(key, jnp.sum(jnp.asarray(seeds,
+                                                          jnp.uint32)))
+        key, ckey, nkey = jax.random.split(key, 3)
+        target = jax.random.randint(ckey, (num_envs,), 0, n_classes)
+        frames = _obs(target, nkey)
+        st = ImageClassState(frames=frames, target=target,
+                             t=jnp.zeros(num_envs, I32), key=key)
+        return st, frames
+
+    def step(state, actions):
+        reward = (jnp.asarray(actions, I32) == state.target).astype(F32)
+        t = state.t + 1
+        done = t >= episode_len
+        key, ckey, nkey = jax.random.split(state.key, 3)
+        target = jax.random.randint(ckey, (num_envs,), 0, n_classes)
+        frames = _obs(target, nkey)
+        st = ImageClassState(frames=frames, target=target,
+                             t=jnp.where(done, 0, t), key=key)
+        info = {"lives": jnp.ones(num_envs, I32),
+                "score": jnp.zeros(num_envs, I32),
+                "episode_return": jnp.where(done, t.astype(F32), jnp.nan),
+                "episode_length": jnp.where(done, episode_len, 0),
+                "raw_reward": reward}
+        return st, frames, reward, done, info
+
+    return BatchedEnvFns(game_name="image_class", num_envs=num_envs,
+                         obs_mode="grayscale", reset=reset, step=step,
+                         obs_shape=(size, size, 1), num_actions=n_classes,
+                         legal_actions=tuple(range(n_classes)))

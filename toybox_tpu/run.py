@@ -218,7 +218,7 @@ def play(args, state, n_envs=8, max_chunks=40, chunk=64):
     recurrent = network in RECURRENT_NETWORKS
     if recurrent:
         _, p_step, carry_init = build_recurrent_eval_policy(
-            env.obs_shape, env.num_actions, network)
+            env.obs_shape, env.num_actions, network, alg=args.alg)
     else:
         _, p_step = build_eval_policy(args.alg, env.obs_shape,
                                       env.num_actions, network)
