@@ -315,3 +315,40 @@ def test_behavioral_runner_config_scenario_capture():
     # and the state parses against that config
     tree = si.state_from_json(cfg, st_js)
     assert tree is not None
+
+
+def test_reset_to_replays_single_env_dynamics():
+    """Cross-surface determinism: stepping a batched env from an injected
+    state (reset_to, reseed=False) reproduces the single-env Toybox
+    handle stepping from the same JSON snapshot, bit-exactly, in every
+    batched lane."""
+    import jax
+    import jax.numpy as jnp
+
+    from toybox_tpu import Toybox
+    from toybox_tpu.envs.batched import make_batched_env
+    from toybox_tpu.games import breakout as bk
+
+    tb = Toybox("breakout", seed=7)
+    tb.apply_ale_action(1)          # FIRE serves
+    for _ in range(30):
+        tb.apply_ale_action(3)      # drift right
+    st_js = tb.to_state_json()
+
+    # single-env continuation: 50 noops
+    for _ in range(50):
+        tb.apply_ale_action(0)
+    single_score, single_lives = tb.get_score(), tb.get_lives()
+    single_bx = tb.to_state_json()["balls"][0]["position"]["x"]
+
+    env = make_batched_env("breakout", 4, obs_mode="none")
+    tree = bk.state_from_json(bk.default_config(), st_js)
+    state, _ = jax.jit(lambda t, s: env.reset_to(t, s, reseed=False))(
+        tree, jnp.arange(4, dtype=jnp.uint32))
+    for _ in range(50):
+        state, _, _, _, _ = jax.jit(env.step)(
+            state, jnp.zeros(4, jnp.int32))  # action 0 == NOOP
+
+    assert (np.asarray(state.game.score) == single_score).all()
+    assert (np.asarray(state.game.lives) == single_lives).all()
+    assert np.allclose(np.asarray(state.game.ball_x)[:, 0], single_bx)
