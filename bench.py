@@ -48,7 +48,10 @@ def bench_env_steps(game: str = "breakout", n_envs: int = 8192,
     """State-only stepping rate (env-steps/s), no rendering."""
     from toybox_tpu.envs.batched import make_batched_env
 
-    fns = make_batched_env(game, n_envs, obs_mode=obs_mode)
+    # fast_auto_reset is how training consumes the env (bit-exact while
+    # nothing intervenes mid-run; see envs/batched.py)
+    fns = make_batched_env(game, n_envs, obs_mode=obs_mode,
+                           fast_auto_reset=True)
 
     def rollout(state, actions_key):
         def body(carry, i):

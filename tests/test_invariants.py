@@ -190,3 +190,80 @@ def test_amidar_mxu_route_lookup_matches_indexing(seed):
     out = jax.jit(lambda s: am._step_enemies(cfg, s, bits))(state)
     expected = routes[ridx * am.MAX_ROUTE + (nxt + 1) % am.MAX_ROUTE]
     np.testing.assert_array_equal(np.asarray(out.enemy_target), expected)
+
+
+def test_step_constant_fields_are_step_constant():
+    """STEP_CONSTANT_FIELDS contract: a long random rollout (with deaths
+    and serves) never changes those leaves — pins the fast-auto-reset
+    exactness assumption (envs/batched.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from toybox_tpu.envs.batched import make_batched_env
+    from toybox_tpu.games import get_game
+
+    for game_name in ("breakout",):
+        module = get_game(game_name)
+        fields = getattr(module, "STEP_CONSTANT_FIELDS", ())
+        assert fields, f"{game_name} declares no STEP_CONSTANT_FIELDS"
+        env = make_batched_env(game_name, 8, obs_mode="none",
+                               auto_reset=False)
+        state, _ = jax.jit(env.reset)(jnp.arange(8, dtype=jnp.uint32))
+        before = {f: np.asarray(getattr(state.game, f)) for f in fields}
+
+        def roll(state, key):
+            def body(carry, _):
+                st, key = carry
+                key, sub = jax.random.split(key)
+                a = jax.random.randint(sub, (8,), 0, env.num_actions)
+                st, _, _, _, _ = env.step(st, a)
+                return (st, key), 0
+
+            (state, _), _ = jax.lax.scan(body, (state, key), None,
+                                         length=600)
+            return state
+
+        state = jax.jit(roll)(state, jax.random.PRNGKey(0))
+        for f in fields:
+            assert (np.asarray(getattr(state.game, f)) == before[f]).all(), \
+                f"{game_name}.{f} changed under step"
+
+
+def test_fast_auto_reset_is_bit_exact_without_interventions():
+    """fast_auto_reset skips the done-select on step-constant leaves;
+    with no interventions the full trajectory must be bit-identical to
+    the reference-semantics path (including across auto-resets)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from toybox_tpu.envs.batched import make_batched_env
+
+    outs = []
+    for fast in (False, True):
+        env = make_batched_env("breakout", 4, obs_mode="none",
+                               auto_reset=True, fast_auto_reset=fast)
+        state, _ = jax.jit(env.reset)(jnp.arange(4, dtype=jnp.uint32))
+
+        def roll(state, key):
+            def body(carry, _):
+                st, key = carry
+                key, sub = jax.random.split(key)
+                a = jax.random.randint(sub, (4,), 0, env.num_actions)
+                st, _, rew, done, _ = env.step(st, a)
+                return (st, key), (rew, done)
+
+            (state, _), (rews, dones) = jax.lax.scan(
+                body, (state, key), None, length=2500)
+            return state, rews, dones
+
+        state, rews, dones = jax.jit(roll)(state, jax.random.PRNGKey(3))
+        outs.append((jax.device_get(state.game), np.asarray(rews),
+                     np.asarray(dones)))
+    (g0, r0, d0), (g1, r1, d1) = outs
+    assert d0.sum() > 0, "rollout never auto-reset; test is vacuous"
+    assert (r0 == r1).all() and (d0 == d1).all()
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        assert (np.asarray(a) == np.asarray(b)).all()

@@ -80,10 +80,21 @@ def _make_obs_fn(module, obs_mode):
 
 def make_batched_env(game_name: str, num_envs: int, config=None,
                      obs_mode: str = "grayscale",
-                     auto_reset: bool = True) -> BatchedEnvFns:
+                     auto_reset: bool = True,
+                     fast_auto_reset: bool = False) -> BatchedEnvFns:
+    """fast_auto_reset: skip the auto-reset done-select on the game's
+    STEP_CONSTANT_FIELDS (fields only new_game/interventions ever write).
+    This keeps those leaves loop-invariant under scan — measured +28%
+    breakout stepping — and is bit-exact UNLESS an intervention modified
+    one of them mid-run (then a game-over reset keeps the intervened
+    value instead of reverting to the default; reference new_game
+    reverts). Training never intervenes, so the RL pipeline enables it;
+    the default here keeps full reference semantics."""
     module = get_game(game_name)
     if config is None:
         config = module.default_config()
+    const_fields = (frozenset(getattr(module, "STEP_CONSTANT_FIELDS", ()))
+                    if fast_auto_reset else frozenset())
     obs_fn, obs_shape = _make_obs_fn(module, obs_mode)
     legal = tuple(module.LEGAL_ACTIONS)
     legal_arr = jnp.asarray(legal, I32)
@@ -141,10 +152,14 @@ def make_batched_env(game_name: str, num_envs: int, config=None,
             # reseed deterministically per episode: mix env seed + episode count
             new_seeds = state.seeds * jnp.uint32(2654435761) + jnp.uint32(num_envs)
             fresh = new_games(jnp.where(done, new_seeds, state.seeds))
-            game = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(
-                    done.reshape(done.shape + (1,) * (a.ndim - 1)), a, b),
-                fresh, game)
+            game = game.replace(**{
+                f.name: jnp.where(
+                    done.reshape(
+                        done.shape + (1,) * (getattr(fresh, f.name).ndim
+                                             - 1)),
+                    getattr(fresh, f.name), getattr(game, f.name))
+                for f in dataclasses.fields(game)
+                if f.name not in const_fields})
             seeds = jnp.where(done, new_seeds, state.seeds)
             score_after = jnp.where(done, jax.vmap(module.score)(game).astype(I32),
                                     score)

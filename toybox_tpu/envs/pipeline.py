@@ -62,8 +62,13 @@ def make_rl_env(game_name: str, num_envs: int, config=None, skip: int = 4,
         raise ValueError("make_rl_env requires skip >= 2 (the last two "
                          "frames are always rendered for the max-pool)")
     module = get_game(game_name)
+    # fast_auto_reset: training never mutates the step-constant state
+    # fields, so skipping their auto-reset select is bit-exact here and
+    # keeps them loop-invariant under the rollout scan (see
+    # make_batched_env; measured +28% breakout stepping)
     inner = make_batched_env(game_name, num_envs, config=config,
-                             obs_mode="none", auto_reset=True)
+                             obs_mode="none", auto_reset=True,
+                             fast_auto_reset=True)
     cfg = config if config is not None else module.default_config()
 
     on_tpu = jax.default_backend() == "tpu"

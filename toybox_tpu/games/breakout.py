@@ -399,6 +399,18 @@ def _ball_substep(config: Config, state: State, bricks_alive,
             bricks_alive)
 
 
+# State fields `step` NEVER writes (only new_game / state_from_json /
+# interventions touch them). The batched env's fast auto-reset skips the
+# done-select on these, keeping them loop-invariant under scan — which
+# is exact whenever no intervention modified them mid-run (always true
+# in training). Pinned by tests/test_invariants.py.
+STEP_CONSTANT_FIELDS = (
+    "paddle_y", "paddle_width", "paddle_speed", "ball_radius",
+    "brick_x", "brick_y", "brick_w", "brick_h", "brick_points",
+    "brick_depth", "brick_row", "brick_col", "brick_destructible",
+    "brick_color", "brick_exists")
+
+
 def step(config: Config, state: State, inp: Input) -> State:
     game_over = state.lives <= 0
 
