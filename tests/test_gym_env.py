@@ -115,7 +115,7 @@ def test_hotpatch_ale_noop_without_ale_py():
 
     if not has_ale:
         assert hotpatch_ale() is False
-        with pytest.raises(AssertionError, match="ale_py"):
+        with pytest.raises(ImportError, match="ale_py"):
             make_atari("BreakoutNoFrameskip-v4")
         return
 

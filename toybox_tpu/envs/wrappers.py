@@ -300,9 +300,11 @@ def make_atari(env_id, max_episode_steps=None, sample_weights=None):
     def base(eid):
         if "Toybox" not in eid:
             # a real-ALE twin: needs the score hotpatch (and ale_py)
-            assert hotpatch_ale(), (
-                f"{eid} is a real-ALE env id but ale_py is not installed; "
-                f"install the ale extra or use the Toybox id")
+            if not hotpatch_ale():
+                raise ImportError(
+                    f"{eid} is a real-ALE env id but ale_py is not "
+                    f"installed; install the 'ale' extra or use the "
+                    f"Toybox id")
         env = gymnasium.make(eid)
         env = NoopResetEnv(env, noop_max=30)
         env = MaxAndSkipEnv(env, skip=4)

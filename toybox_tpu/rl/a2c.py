@@ -255,7 +255,7 @@ def learn(*, env=None, game="breakout", num_envs=16, total_timesteps=10_000,
           vf_coef=0.5, lr=7e-4, max_grad_norm=0.5, log_interval=100,
           save_path=None, load_path=None, logger=None, network_kwargs=None,
           checkpoint_path=None, checkpoint_freq=500, updates_per_jit=1,
-          **_ignored):
+          nlstm=128, **_ignored):
     from toybox_tpu.rl.policies import RECURRENT_NETWORKS
 
     env_fns = env if env is not None else make_rl_env(game, num_envs)
@@ -263,12 +263,14 @@ def learn(*, env=None, game="breakout", num_envs=16, total_timesteps=10_000,
     fpstep = getattr(env_fns, "frames_per_step", 1)  # actual frameskip
     total_updates = max(int(total_timesteps) // (nbatch * fpstep), 1)
 
-    maker = (make_recurrent_a2c if network in RECURRENT_NETWORKS
-             else make_a2c)
+    recurrent = network in RECURRENT_NETWORKS
+    maker = make_recurrent_a2c if recurrent else make_a2c
+    extra_kw = {"nlstm": nlstm} if recurrent else {}
     init_fn, train_step = maker(
         env_fns, network=network, lr=lr, nsteps=nsteps, gamma=gamma,
         ent_coef=ent_coef, vf_coef=vf_coef, max_grad_norm=max_grad_norm,
-        total_updates=total_updates, network_kwargs=network_kwargs)
+        total_updates=total_updates, network_kwargs=network_kwargs,
+        **extra_kw)
 
     state = init_fn(seed)
     if load_path is not None:

@@ -492,17 +492,19 @@ def learn(*, env=None, game="breakout", num_envs=16, total_timesteps=100_000,
           q_coef=0.5, ent_coef=0.01, c=10.0, trust_region=True, delta=1.0,
           alpha=0.99, replay_ratio=4, buffer_traj=50, log_interval=20,
           save_path=None, load_path=None, logger=None, network_kwargs=None,
-          cycles_per_jit=1, **_ignored):
+          cycles_per_jit=1, nlstm=128, **_ignored):
     from toybox_tpu.rl.policies import RECURRENT_NETWORKS
 
     env_fns = env if env is not None else make_rl_env(game, num_envs)
-    maker = (make_recurrent_acer if network in RECURRENT_NETWORKS
-             else make_acer)
+    recurrent = network in RECURRENT_NETWORKS
+    maker = make_recurrent_acer if recurrent else make_acer
+    extra_kw = {"nlstm": nlstm} if recurrent else {}
     init_fn, cycle = maker(
         env_fns, network=network, nsteps=nsteps, lr=lr, gamma=gamma,
         q_coef=q_coef, ent_coef=ent_coef, c=c, trust_region=trust_region,
         delta=delta, alpha=alpha, replay_ratio=replay_ratio,
-        buffer_traj=buffer_traj, network_kwargs=network_kwargs)
+        buffer_traj=buffer_traj, network_kwargs=network_kwargs,
+        **extra_kw)
     state = init_fn(seed)
     if load_path is not None:
         state = state.replace(params=load_params(load_path, state.params))

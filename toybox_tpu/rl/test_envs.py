@@ -168,6 +168,7 @@ class ImageClassState:
     frames: jnp.ndarray     # u8[N, H, W, 1] current class image
     target: jnp.ndarray     # i32[N] the correct class/action
     t: jnp.ndarray          # i32[N]
+    ret: jnp.ndarray        # f32[N] accumulated episode reward
     key: jnp.ndarray
 
 
@@ -197,21 +198,24 @@ def make_image_class_env(num_envs: int, n_classes: int = 10,
         target = jax.random.randint(ckey, (num_envs,), 0, n_classes)
         frames = _obs(target, nkey)
         st = ImageClassState(frames=frames, target=target,
-                             t=jnp.zeros(num_envs, I32), key=key)
+                             t=jnp.zeros(num_envs, I32),
+                             ret=jnp.zeros(num_envs, F32), key=key)
         return st, frames
 
     def step(state, actions):
         reward = (jnp.asarray(actions, I32) == state.target).astype(F32)
         t = state.t + 1
+        ret = state.ret + reward
         done = t >= episode_len
         key, ckey, nkey = jax.random.split(state.key, 3)
         target = jax.random.randint(ckey, (num_envs,), 0, n_classes)
         frames = _obs(target, nkey)
         st = ImageClassState(frames=frames, target=target,
-                             t=jnp.where(done, 0, t), key=key)
+                             t=jnp.where(done, 0, t),
+                             ret=jnp.where(done, 0.0, ret), key=key)
         info = {"lives": jnp.ones(num_envs, I32),
                 "score": jnp.zeros(num_envs, I32),
-                "episode_return": jnp.where(done, t.astype(F32), jnp.nan),
+                "episode_return": jnp.where(done, ret, jnp.nan),
                 "episode_length": jnp.where(done, episode_len, 0),
                 "raw_reward": reward}
         return st, frames, reward, done, info

@@ -95,9 +95,11 @@ def env_config(module, cfg):
 def run_scenario(scenario_cls, *, params=None, alg: str = "ppo",
                  network: str = "cnn", episodes: int | None = None,
                  seed: int = 0, max_frames: int | None = None,
-                 chunk: int = 128):
+                 chunk: int = 128, control_cache: dict | None = None):
     """Run one scenario (plus its control, if the check needs one) and
-    return {scores, control, passed}."""
+    return {scores, control, passed}. ``control_cache`` (keyed on the
+    control run's full configuration) dedups the unmodified-game rollout
+    across scenarios that share a budget."""
     s = scenario_cls(seed=seed)
     if episodes:
         s.n_episodes = episodes
@@ -111,7 +113,14 @@ def run_scenario(scenario_cls, *, params=None, alg: str = "ppo",
     scores = play_batched(s.game, cfg_js, st_js, **kw)
     control = None
     if getattr(s, "needs_control", False):
-        control = play_batched(s.game, None, None, **kw)
+        ckey = (s.game, alg, network, s.n_episodes, seed, s.max_frames,
+                kw["chunk"])
+        if control_cache is not None and ckey in control_cache:
+            control = control_cache[ckey]
+        else:
+            control = play_batched(s.game, None, None, **kw)
+            if control_cache is not None:
+                control_cache[ckey] = control
     return {
         "scores": scores.tolist(),
         "control": None if control is None else control.tolist(),
@@ -122,12 +131,15 @@ def run_scenario(scenario_cls, *, params=None, alg: str = "ppo",
 def run_all_gated(game: str, *, params=None, alg: str = "ppo",
                   network: str = "cnn", episodes: int | None = None,
                   seed: int = 0, max_frames: int | None = None):
-    """Run every scenario for a game through the batched gate."""
+    """Run every scenario for a game through the batched gate; control
+    rollouts are shared across scenarios with the same budget."""
     from toybox_tpu.sample_tests import get_scenarios
 
     results = {}
+    control_cache = {}
     for scenario_cls in get_scenarios(game):
         results[scenario_cls.__name__] = run_scenario(
             scenario_cls, params=params, alg=alg, network=network,
-            episodes=episodes, seed=seed, max_frames=max_frames)
+            episodes=episodes, seed=seed, max_frames=max_frames,
+            control_cache=control_cache)
     return results

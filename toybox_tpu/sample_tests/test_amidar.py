@@ -20,6 +20,9 @@ class EnemyRemoval(BehavioralFixture):
     game = "amidar"
     max_frames = 3_000
     needs_control = True
+    #: absolute competence floor for the CONTROL run (regress-gate scale;
+    #: measured ppo1 control means are 298-405)
+    min_control = 50.0
     # measured (Amidar.ppo1.model, chip, 2026-08-20): 242.4 vs control
     # 298.2 -> ratio 0.81; gate at 0.6 (~25% margin for eval noise, still
     # fails when unopposed play craters)
@@ -35,8 +38,11 @@ class EnemyRemoval(BehavioralFixture):
         return tb.game_over() or frame >= self.max_frames - 1
 
     def check(self, scores, control=None):
-        # unopposed play must not score much worse than the normal game
-        return (float(np.mean(scores))
+        # unopposed play must not score much worse than the normal game;
+        # the control itself must show a competent agent (guards against
+        # the vacuous 0 >= frac*0 pass of a collapsed model)
+        return (float(np.mean(control)) >= self.min_control
+                and float(np.mean(scores))
                 >= self.min_control_frac * float(np.mean(control)))
 
 
@@ -47,6 +53,7 @@ class OneEnemyTarget(BehavioralFixture):
     game = "amidar"
     max_frames = 5_000
     needs_control = True
+    min_control = 50.0
 
     def intervene(self, tb):
         with AmidarIntervention(tb) as iv:
@@ -66,7 +73,8 @@ class OneEnemyTarget(BehavioralFixture):
     min_control_frac = 0.25
 
     def check(self, scores, control=None):
-        return (float(np.mean(scores))
+        return (float(np.mean(control)) >= self.min_control
+                and float(np.mean(scores))
                 >= self.min_control_frac * float(np.mean(control)))
 
 
@@ -80,6 +88,7 @@ class _GangUpNoJump(BehavioralFixture):
     needs_control = True
     protocol = None
     min_control_frac = 0.1
+    min_control = 50.0
 
     def _protocol_kwargs(self, iv):
         if self.protocol == MovementAI.EnemyTargetPlayer:
@@ -100,7 +109,8 @@ class _GangUpNoJump(BehavioralFixture):
             iv.game.jumps = 0
 
     def check(self, scores, control=None):
-        return (float(np.mean(scores))
+        return (float(np.mean(control)) >= self.min_control
+                and float(np.mean(scores))
                 >= self.min_control_frac * float(np.mean(control)))
 
 

@@ -24,8 +24,12 @@ class EZChannel(BehavioralFixture):
         with BreakoutIntervention(tb) as iv:
             iv.add_channel(self.channel_col)
 
+    min_control = 100.0  # measured ppo1 control mean ~1300-1600
+
     def check(self, scores, control=None):
-        return float(np.mean(scores)) >= 0.25 * float(np.mean(control))
+        return (float(np.mean(control)) >= self.min_control
+                and float(np.mean(scores))
+                >= 0.25 * float(np.mean(control)))
 
 
 class LastBrick(BehavioralFixture):
@@ -60,6 +64,8 @@ class PolarStarts(BehavioralFixture):
     # measured (Breakout.ppo1.model, chip, 2026-08-20): 1316 vs control
     # 1618 -> ratio 0.81; gate at 0.25
 
+    min_control = 100.0
+
     def intervene(self, tb):
         cfg = tb.config_to_json()
         cfg["ball_start_positions"] = [
@@ -68,7 +74,9 @@ class PolarStarts(BehavioralFixture):
         tb.new_game()
 
     def check(self, scores, control=None):
-        return float(np.mean(scores)) >= 0.25 * float(np.mean(control))
+        return (float(np.mean(control)) >= self.min_control
+                and float(np.mean(scores))
+                >= 0.25 * float(np.mean(control)))
 
 
 SCENARIOS = [EZChannel, LastBrick, PolarStarts]

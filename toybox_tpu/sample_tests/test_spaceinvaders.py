@@ -12,9 +12,14 @@ from toybox_tpu.sample_tests.base import BehavioralFixture
 class _RelativeCheck(BehavioralFixture):
     needs_control = True
     min_control_frac = 0.5
+    #: absolute competence floor for the CONTROL run (measured ppo1
+    #: control mean is ~5200-5400; guards the vacuous 0 >= frac*0 pass
+    #: of a collapsed model)
+    min_control = 500.0
 
     def check(self, scores, control=None):
-        return (float(np.mean(scores))
+        return (float(np.mean(control)) >= self.min_control
+                and float(np.mean(scores))
                 >= self.min_control_frac * float(np.mean(control)))
 
 
