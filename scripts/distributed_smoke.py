@@ -115,6 +115,12 @@ def _spawn(args, extra):
     # disarm it and pin the CPU platform.
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
+    # drop any inherited virtual-device multiplier (pytest's conftest sets
+    # 8): each worker only needs its one CPU device, and 3 processes x 8
+    # device thread pools on one core is a flake risk
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f)
     return subprocess.Popen(cmd, stdout=subprocess.PIPE,
                             stderr=subprocess.STDOUT, text=True, env=env,
                             cwd=os.path.dirname(os.path.dirname(
