@@ -127,6 +127,11 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(sps / BASELINE_STEPS_PER_S, 4),
         "headline_game": headline_game,
+        # compat: round-3 consumers read a top-level pipeline rate and a
+        # per-game metric name; keep both alongside the games map
+        "pipeline_frames_per_s": per_game[headline_game][
+            "pipeline_frames_per_s"],
+        "compat_metric": f"{headline_game}_env_steps_per_s_{n_envs}envs",
         "measures": "state stepping only (no render), slowest of the games "
                     "benchmarked; per-game rates (incl. the render-inclusive "
                     "pipeline) under games.*",

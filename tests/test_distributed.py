@@ -1,9 +1,13 @@
-"""Opt-in multi-process jax.distributed smoke test (VERDICT item 8).
+"""Opt-in multi-process jax.distributed smoke test (round-1 VERDICT item
+8; round-4 VERDICT item 3 added the train phase).
 
 Runs scripts/distributed_smoke.py: two CPU worker processes joined via
-jax.distributed + a single-process reference, asserting the globally
-psum-reduced metrics are identical. Opt-in because it spawns three JAX
-processes on this box's single core (~2 min):
+jax.distributed + single-process references, asserting (a) the globally
+psum-reduced env metrics are identical and (b) a full PPO train step
+whose gradient all-reduce crosses the process boundary produces
+BIT-IDENTICAL params to the same 2-device mesh program in one process
+(the MpiAdamOptimizer.comm.Allreduce analog). Opt-in because it spawns
+multiple JAX processes on this box's single core (~3 min):
 
     TOYBOX_TPU_DISTRIBUTED=1 python -m pytest tests/test_distributed.py -q
 """
@@ -31,3 +35,6 @@ def test_two_process_metrics_match_single():
     result = json.loads(proc.stdout.strip().splitlines()[-1])
     assert result["ok"] is True
     assert result["distributed"] == result["single_process"]
+    assert result["train_params_bit_identical"] is True
+    assert (result["train_params_sha256"]["distributed"]
+            == result["train_params_sha256"]["single_process"])

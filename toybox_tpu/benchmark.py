@@ -95,6 +95,58 @@ def bench_batched(game: str, n_envs: int, steps: int, reps: int):
     return _mean_sem(rates)
 
 
+def bench_ale(game: str, steps: int, reps: int):
+    """The comparative arm of the reference methodology
+    (test/benchmark.py:44-163): the SAME raw + gym-wrapped loops on the
+    real ALE emulator, so the report can state the Toybox-vs-ALE speed
+    ratio. Requires ale_py (not installable in this environment); returns
+    None with a loud message when absent."""
+    try:
+        import ale_py  # noqa: F401
+        import gymnasium
+    except ImportError:
+        print("ALE comparison skipped: ale_py is not installed "
+              "(pip install ale-py gymnasium[atari] to enable)")
+        return None
+
+    name = {"breakout": "Breakout", "amidar": "Amidar",
+            "space_invaders": "SpaceInvaders"}.get(game)
+    if name is None:
+        print(f"ALE comparison skipped: no ALE analog for {game!r}")
+        return None
+    from toybox_tpu.envs.wrappers import wrap_deepmind
+
+    raw = gymnasium.make(f"ALE/{name}-v5", frameskip=1,
+                         repeat_action_probability=0.0)
+    raw.reset(seed=0)
+    rates = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for i in range(steps):
+            _, _, term, trunc, _ = raw.step(i % raw.action_space.n)
+            if term or trunc:
+                raw.reset()
+        rates.append(steps / (time.perf_counter() - t0))
+    raw.close()
+    raw_m, raw_s = _mean_sem(rates)
+
+    env = wrap_deepmind(gymnasium.make(f"{name}NoFrameskip-v4"),
+                        frame_stack=True)
+    env.reset(seed=0)
+    rates = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for i in range(steps // 4):
+            _, _, term, trunc, _ = env.step(i % env.action_space.n)
+            if term or trunc:
+                env.reset()
+        rates.append((steps // 4) / (time.perf_counter() - t0))
+    env.close()
+    gym_m, gym_s = _mean_sem(rates)
+    return {"raw_engine_fps": {"mean": raw_m, "sem": raw_s},
+            "gym_wrapped_fps": {"mean": gym_m, "sem": gym_s}}
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--game", default="breakout")
@@ -102,6 +154,9 @@ def main(argv=None):
     parser.add_argument("--steps", type=int, default=2000)
     parser.add_argument("--batch-sizes", default="256,2048,8192")
     parser.add_argument("--skip-gym", action="store_true")
+    parser.add_argument("--compare-ale", action="store_true",
+                        help="also benchmark real ALE (needs ale_py) and "
+                             "report the Toybox/ALE speed ratio")
     args = parser.parse_args(argv)
 
     out = {"game": args.game}
@@ -120,6 +175,15 @@ def main(argv=None):
         out["gym_wrapper_slowdown_pct"] = slowdown
         print(f"gym wrapped:  {gym_m:,.0f} +/- {gym_s:,.0f} agent-steps/s "
               f"({slowdown:.1f}% slowdown vs raw frames)")
+
+    if args.compare_ale:
+        ale = bench_ale(args.game, single_steps, args.reps)
+        if ale is not None:
+            out["ale"] = ale
+            ratio = raw_m / max(ale["raw_engine_fps"]["mean"], 1e-9)
+            out["toybox_vs_ale_raw_ratio"] = ratio
+            print(f"ALE raw:      {ale['raw_engine_fps']['mean']:,.0f} fps "
+                  f"(toybox/ale = {ratio:.2f}x)")
 
     for n in [int(x) for x in args.batch_sizes.split(",") if x]:
         m, s = bench_batched(args.game, n, max(args.steps // 8, 64),

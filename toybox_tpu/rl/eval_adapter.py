@@ -35,8 +35,14 @@ def make_tb_policy(alg: str, network: str, params, game: str,
     """
     from toybox_tpu.core.actions import LEGAL_ACTIONS
     from toybox_tpu.games import get_game
-    from toybox_tpu.rl.policies import build_eval_policy
+    from toybox_tpu.rl.policies import RECURRENT_NETWORKS, build_eval_policy
 
+    if network in RECURRENT_NETWORKS:
+        raise ValueError(
+            f"the single-env adapter is feedforward-only; {network!r} "
+            "checkpoints evaluate through the batched paths "
+            "(sample_tests.runner.play_batched / regress / run --play), "
+            "which thread the LSTM carry")
     module = get_game(game)
     legal = np.asarray(LEGAL_ACTIONS[game], np.int32)
     obs_shape = (frame_size, frame_size, frame_stack)
@@ -96,14 +102,23 @@ def make_tb_policy(alg: str, network: str, params, game: str,
 
 
 def load_eval_params(alg: str, network: str, load_path: str, game: str,
-                     frame_size: int = 84, frame_stack: int = 4):
-    """Load a checkpoint into the matching eval-policy template."""
+                     frame_size: int = 84, frame_stack: int = 4,
+                     nlstm: int = 128):
+    """Load a checkpoint into the matching eval-policy template
+    (recurrent networks get the carry-threading template)."""
     from toybox_tpu.core.actions import LEGAL_ACTIONS
-    from toybox_tpu.rl.policies import build_eval_policy
+    from toybox_tpu.rl.policies import (RECURRENT_NETWORKS,
+                                        build_eval_policy,
+                                        build_recurrent_eval_policy)
     from toybox_tpu.rl.ppo import load_params
 
     n_act = len(LEGAL_ACTIONS[game])
     obs_shape = (frame_size, frame_size, frame_stack)
-    p_init, _ = build_eval_policy(alg, obs_shape, n_act, network)
+    if network in RECURRENT_NETWORKS:
+        p_init, _, _ = build_recurrent_eval_policy(obs_shape, n_act,
+                                                   network, nlstm=nlstm,
+                                                   alg=alg)
+    else:
+        p_init, _ = build_eval_policy(alg, obs_shape, n_act, network)
     template = p_init(jax.random.PRNGKey(0))
     return load_params(load_path, template)

@@ -114,8 +114,11 @@ def build_recurrent_eval_policy(obs_shape, action_space, network,
                                                 prev_done)
         pd = CategoricalPd(logits)
         actions = pd.sample(key)
-        if value.ndim == 2:  # acer Q head [N, nact] -> state value proxy
-            value = jnp.max(value, axis=-1)
+        if value.ndim == 2:  # acer Q head [N, nact] -> V = E_pi[Q]
+            # Same state-value the training-side Retrace target uses
+            # (sum(softmax(logits) * q)); max(Q) would bias logged values
+            # upward relative to what training optimized.
+            value = jnp.sum(jax.nn.softmax(logits, -1) * value, axis=-1)
         return actions, value, pd.neglogp(actions), new_carry
 
     return init_fn, step_fn, carry_init

@@ -23,6 +23,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("game")
     parser.add_argument("--alg", type=str, default="ppo")
+    parser.add_argument("--family", type=str, default=None,
+                        help="gate a registered model family (families.py):"
+                             " sets alg/network/model default AND applies "
+                             "the family's calibrated check overrides")
     parser.add_argument("--load_path", type=str, default=None,
                         help="trained checkpoint to gate (enables "
                              "pass/fail exit status)")
@@ -33,6 +37,18 @@ def main():
                         help="cap every scenario's per-episode frame "
                              "budget (smoke runs on slow backends)")
     args = parser.parse_args()
+
+    overrides = None
+    if args.family:
+        from toybox_tpu.sample_tests.families import (FAMILIES, model_path,
+                                                      overrides_for)
+
+        spec = FAMILIES[args.family]
+        args.alg = spec["alg"]
+        args.network = args.network or spec["network"]
+        args.load_path = args.load_path or model_path(args.family,
+                                                      args.game)
+        overrides = overrides_for(args.family, args.game)
 
     gating = args.load_path is not None
     if gating:
@@ -46,7 +62,8 @@ def main():
                                   args.game)
         results = run_all_gated(args.game, params=params, alg=args.alg,
                                 network=network, episodes=args.episodes,
-                                seed=args.seed, max_frames=args.max_frames)
+                                seed=args.seed, max_frames=args.max_frames,
+                                overrides=overrides)
     else:
         # smoke: the cheap per-frame harness with a uniform-random policy
         # (no policy network, no per-scenario jit programs)
@@ -56,7 +73,7 @@ def main():
                           seed=args.seed, max_frames=args.max_frames)
     failed = []
     for name, r in results.items():
-        status = ("SMOKE" if r["passed"] is None
+        status = (("WAIVED" if gating else "SMOKE") if r["passed"] is None
                   else "PASS" if r["passed"] else "FAIL")
         ctrl = (f" control={r['control']}" if r["control"] is not None
                 else "")

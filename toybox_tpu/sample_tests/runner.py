@@ -35,22 +35,33 @@ def capture_setup(scenario):
 
 def play_batched(game: str, cfg_js, st_js, *, params, alg: str,
                  network: str, n_episodes: int, seed: int = 0,
-                 max_frames: int = 20_000, chunk: int = 128):
+                 max_frames: int = 20_000, chunk: int = 128,
+                 nlstm: int = 128):
     """Play n_episodes in parallel from an injected (config, state) setup;
-    returns raw (uncapped, unclipped) episode scores."""
+    returns raw (uncapped, unclipped) episode scores. Recurrent networks
+    (lstm/cnn_lstm/cnn_lnlstm) thread the LSTM carry + episode-boundary
+    flags through the scan, like the reference --play loop threads
+    model.initial_state."""
     import jax
     import jax.numpy as jnp
 
     from toybox_tpu.envs.pipeline import make_rl_env
     from toybox_tpu.games import get_game
-    from toybox_tpu.rl.policies import build_eval_policy
+    from toybox_tpu.rl.policies import (RECURRENT_NETWORKS,
+                                        build_eval_policy,
+                                        build_recurrent_eval_policy)
 
     module = get_game(game)
     cfg = module.config_from_json(cfg_js) if cfg_js is not None else None
     env = make_rl_env(game, n_episodes, config=cfg, episodic_life=False,
                       clip_rewards=False)
-    p_init, p_step = build_eval_policy(alg, env.obs_shape, env.num_actions,
-                                       network)
+    recurrent = network in RECURRENT_NETWORKS
+    if recurrent:
+        p_init, p_step, carry_init = build_recurrent_eval_policy(
+            env.obs_shape, env.num_actions, network, nlstm=nlstm, alg=alg)
+    else:
+        p_init, p_step = build_eval_policy(alg, env.obs_shape,
+                                           env.num_actions, network)
     if params is None:  # smoke mode: an untrained (random-weight) policy
         params = p_init(jax.random.PRNGKey(seed))
 
@@ -62,27 +73,36 @@ def play_batched(game: str, cfg_js, st_js, *, params, alg: str,
         st, _ = jax.jit(env.reset)(seeds)
 
     @jax.jit
-    def run_chunk(params, st, totals, finished, key):
+    def run_chunk(params, st, totals, finished, key, rnn):
         def body(carry, _):
-            st, totals, finished, key = carry
+            st, totals, finished, key, rnn = carry
             key, akey = jax.random.split(key)
-            actions, _, _, _ = p_step(params, st.frames, akey)
+            if recurrent:
+                lstm_carry, prev_done = rnn
+                actions, _, _, lstm_carry = p_step(params, st.frames, akey,
+                                                   lstm_carry, prev_done)
+            else:
+                actions, _, _, _ = p_step(params, st.frames, akey)
             st, _, _, done, info = env.step(st, actions)
+            if recurrent:
+                rnn = (lstm_carry, done)
             totals = jnp.where(finished, totals, totals + info["raw_reward"])
             finished = finished | done
-            return (st, totals, finished, key), None
+            return (st, totals, finished, key, rnn), None
 
-        (st, totals, finished, key), _ = jax.lax.scan(
-            body, (st, totals, finished, key), None, length=chunk)
-        return st, totals, finished, key
+        (st, totals, finished, key, rnn), _ = jax.lax.scan(
+            body, (st, totals, finished, key, rnn), None, length=chunk)
+        return st, totals, finished, key, rnn
 
     totals = jnp.zeros(n_episodes)
     finished = jnp.zeros(n_episodes, bool)
     key = jax.random.PRNGKey(seed)
+    rnn = ((carry_init(n_episodes), jnp.zeros(n_episodes, bool))
+           if recurrent else jnp.zeros(()))
     n_chunks = max(max_frames // env.frames_per_step // chunk, 1)
     for _ in range(n_chunks):
-        st, totals, finished, key = run_chunk(params, st, totals, finished,
-                                              key)
+        st, totals, finished, key, rnn = run_chunk(params, st, totals,
+                                                   finished, key, rnn)
         if bool(jax.device_get(finished).all()):
             break
     return np.asarray(jax.device_get(totals))
@@ -95,12 +115,25 @@ def env_config(module, cfg):
 def run_scenario(scenario_cls, *, params=None, alg: str = "ppo",
                  network: str = "cnn", episodes: int | None = None,
                  seed: int = 0, max_frames: int | None = None,
-                 chunk: int = 128, control_cache: dict | None = None):
+                 chunk: int = 128, control_cache: dict | None = None,
+                 overrides: dict | None = None):
     """Run one scenario (plus its control, if the check needs one) and
     return {scores, control, passed}. ``control_cache`` (keyed on the
     control run's full configuration) dedups the unmodified-game rollout
-    across scenarios that share a budget."""
+    across scenarios that share a budget.
+
+    ``overrides`` recalibrates the check for a non-ppo1 model family:
+    attr/value pairs set on the scenario instance (e.g. min_control,
+    min_control_frac), or {"waived": "<rationale>"} to run the scenario
+    but record passed=None (an explicitly-waived family/scenario cell —
+    the matrix still shows the scores)."""
     s = scenario_cls(seed=seed)
+    waived = None
+    for k, v in (overrides or {}).items():
+        if k == "waived":
+            waived = v
+        else:
+            setattr(s, k, v)
     if episodes:
         s.n_episodes = episodes
     if max_frames:
@@ -121,18 +154,24 @@ def run_scenario(scenario_cls, *, params=None, alg: str = "ppo",
             control = play_batched(s.game, None, None, **kw)
             if control_cache is not None:
                 control_cache[ckey] = control
-    return {
+    out = {
         "scores": scores.tolist(),
         "control": None if control is None else control.tolist(),
-        "passed": bool(s.check(scores, control)),
+        "passed": (None if waived is not None
+                   else bool(s.check(scores, control))),
     }
+    if waived is not None:
+        out["waived"] = waived
+    return out
 
 
 def run_all_gated(game: str, *, params=None, alg: str = "ppo",
                   network: str = "cnn", episodes: int | None = None,
-                  seed: int = 0, max_frames: int | None = None):
+                  seed: int = 0, max_frames: int | None = None,
+                  overrides: dict | None = None):
     """Run every scenario for a game through the batched gate; control
-    rollouts are shared across scenarios with the same budget."""
+    rollouts are shared across scenarios with the same budget.
+    ``overrides`` maps scenario class name -> run_scenario overrides."""
     from toybox_tpu.sample_tests import get_scenarios
 
     results = {}
@@ -141,5 +180,6 @@ def run_all_gated(game: str, *, params=None, alg: str = "ppo",
         results[scenario_cls.__name__] = run_scenario(
             scenario_cls, params=params, alg=alg, network=network,
             episodes=episodes, seed=seed, max_frames=max_frames,
-            control_cache=control_cache)
+            control_cache=control_cache,
+            overrides=(overrides or {}).get(scenario_cls.__name__))
     return results

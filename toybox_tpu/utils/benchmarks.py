@@ -66,3 +66,53 @@ register_benchmark({
                    "(regress.py threshold 50, 10 games each)",
     "tasks": _tasks(1e7, trials=1),
 })
+
+
+# ---------------------------------------------------------------------------
+# Non-Toybox suites from the reference registry (bench/benchmarks.py:35-120).
+# Registered for surface parity — their env ids need ale_py / mujoco, which
+# this environment can't run; get_benchmark still serves the task lists to
+# sweep tooling that filters on availability.
+# ---------------------------------------------------------------------------
+
+_ATARI7 = ["BeamRider", "Breakout", "Enduro", "Pong", "Qbert", "Seaquest",
+           "SpaceInvaders"]
+_ATARI_EXPL7 = ["Freeway", "Gravitar", "MontezumaRevenge", "Pitfall",
+                "PrivateEye", "Solaris", "Venture"]
+_MUJOCO_SMALL = ["InvertedDoublePendulum-v2", "InvertedPendulum-v2",
+                 "HalfCheetah-v2", "Hopper-v2", "Walker2d-v2",
+                 "Reacher-v2", "Swimmer-v2"]
+
+
+def _atari_tasks(games, num_timesteps, trials):
+    return [{"env_id": f"{g}NoFrameskip-v4", "desc": g, "trials": trials,
+             "num_timesteps": int(num_timesteps)} for g in games]
+
+
+register_benchmark({
+    "name": "Atari10M",
+    "description": "7 Atari games (Mnih et al. 2013), pixel obs, 10M "
+                   "timesteps [requires ale_py]",
+    "tasks": _atari_tasks(_ATARI7, 1e7, trials=6),
+})
+
+register_benchmark({
+    "name": "Atari50M",
+    "description": "7 Atari games (Mnih et al. 2013), pixel obs, 50M "
+                   "timesteps [requires ale_py]",
+    "tasks": _atari_tasks(_ATARI7, 5e7, trials=2),
+})
+
+register_benchmark({
+    "name": "AtariExploration10M",
+    "description": "7 exploration-heavy Atari games, 10M timesteps "
+                   "[requires ale_py]",
+    "tasks": _atari_tasks(_ATARI_EXPL7, 1e7, trials=2),
+})
+
+register_benchmark({
+    "name": "Mujoco1M",
+    "description": "small 2D MuJoCo tasks, 1M timesteps [requires mujoco]",
+    "tasks": [{"env_id": e, "trials": 6, "num_timesteps": int(1e6)}
+              for e in _MUJOCO_SMALL],
+})
