@@ -72,6 +72,25 @@ def test_ppo_train_step_runs_and_is_finite():
     assert int(state.update) == 2
 
 
+def test_ppo_microbatched_update_matches_default():
+    """Gradient-accumulation microbatching (the HBM lever for big env
+    counts) must produce the same update as the one-shot minibatch up to
+    fp summation reordering — advantages are normalized over the FULL
+    minibatch before chunking, so the math is identical."""
+    from toybox_tpu.rl.ppo import make_ppo
+    env = make_rl_env("gridworld", 4)
+    kw = dict(nsteps=8, nminibatches=2, noptepochs=2, network="cnn_small",
+              total_updates=10)
+    i1, t1, _ = make_ppo(env, **kw)
+    s1, _ = jax.jit(t1)(i1(0))
+    i2, t2, _ = make_ppo(env, microbatches=4, **kw)
+    s2, _ = jax.jit(t2)(i2(0))
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6)
+
+
 def test_a2c_train_step_runs():
     from toybox_tpu.rl.a2c import make_a2c
     env = make_rl_env("gridworld", 4)

@@ -45,13 +45,23 @@ class PPOState:
 def make_ppo(env_fns, *, network="cnn", lr=2.5e-4, cliprange=0.1,
              nsteps=128, nminibatches=4, noptepochs=4, gamma=0.99,
              lam=0.95, ent_coef=0.01, vf_coef=0.5, max_grad_norm=0.5,
-             total_updates=1, network_kwargs=None):
-    """Build (init_fn, train_step_fn, act_fn) over a batched env."""
+             total_updates=1, network_kwargs=None, microbatches=1):
+    """Build (init_fn, train_step_fn, act_fn) over a batched env.
+
+    ``microbatches`` splits each minibatch's gradient into that many
+    sequentially-accumulated micro-batches before the single Adam step —
+    the HBM lever for large env counts (activation memory scales 1/K;
+    the gradient of a mean over equal chunks is the mean of chunk
+    gradients, and advantages are normalized over the FULL minibatch
+    first, so the update stays the reference semantics,
+    ppo2.py:250-258)."""
     num_envs = env_fns.num_envs
     obs_shape = env_fns.obs_shape
     nbatch = num_envs * nsteps
     assert nbatch % nminibatches == 0
     mbsize = nbatch // nminibatches
+    assert mbsize % microbatches == 0
+    ubsize = mbsize // microbatches
 
     module, p_init, p_step, p_value = build_policy(
         obs_shape, env_fns.num_actions, network, **(network_kwargs or {}))
@@ -112,7 +122,7 @@ def make_ppo(env_fns, *, network="cnn", lr=2.5e-4, cliprange=0.1,
             (values, rewards, dones), reverse=True)
         return advs
 
-    def _loss(params, mb, clipr):
+    def _loss(params, mb, clipr, normalize_adv=True):
         obs, actions, old_values, old_neglogps, returns, advs = mb
         logits, vpred = module.apply(params, obs)
         pd = pd_from_logits(env_fns.num_actions, logits)
@@ -127,7 +137,8 @@ def make_ppo(env_fns, *, network="cnn", lr=2.5e-4, cliprange=0.1,
             jnp.square(vpredclipped - returns)))
 
         ratio = jnp.exp(old_neglogps - neglogp)
-        advs = (advs - advs.mean()) / (advs.std() + 1e-8)
+        if normalize_adv:  # microbatch path pre-normalizes over the full mb
+            advs = (advs - advs.mean()) / (advs.std() + 1e-8)
         pg_loss = jnp.mean(jnp.maximum(
             -advs * ratio,
             -advs * jnp.clip(ratio, 1.0 - clipr, 1.0 + clipr)))
@@ -157,28 +168,38 @@ def make_ppo(env_fns, *, network="cnn", lr=2.5e-4, cliprange=0.1,
         advs = _gae(values, rewards, dones, last_value)
         returns = advs + values
 
-        # flatten time x env
+        # flatten time x env (flat index i = t * num_envs + e)
         def fl(x):
             return x.reshape((nbatch,) + x.shape[2:])
 
-        batch = tuple(map(fl, (obs, actions, values, neglogps, returns,
-                               advs)))
+        batch = tuple(map(fl, (actions, values, neglogps, returns, advs)))
 
         # The epoch shuffle (ppo2.py:250-258: permute indices once per
         # epoch, gather each minibatch) moves the whole obs batch through
         # HBM every epoch. Gathering u8 [nbatch, 84, 84, 4] rows pays a
         # 1.6x tile-padding tax (trailing 4-dim; perf rules #1/#2), so the
-        # obs gather runs on a BIT-EXACT flat u32 view [nbatch, 7056] —
-        # no padding, 4x fewer elements — and the minibatch is bitcast
-        # back after the gather (measured on-chip: whole-shuffle cost
-        # 310 ms -> ~80 ms per update at 1024 envs).
-        flat_obs = batch[0]
-        obs_tail_shape = flat_obs.shape[1:]
-        obs_u32 = (flat_obs.dtype == jnp.uint8
-                   and (flat_obs.size // nbatch) % 4 == 0)
+        # obs gather runs on a BIT-EXACT flat u32 view [nsteps, nenv,
+        # 7056] — no padding, 4x fewer elements — and the minibatch is
+        # bitcast back after the gather (measured on-chip: whole-shuffle
+        # cost 310 ms -> ~3 ms per update at 1024 envs). The view keeps
+        # the scan-major [nsteps, nenv] layout (reshape + bitcast are
+        # free) so the obs batch is never COPIED into a flattened buffer
+        # — at 2048 envs that copy alone was 7.4 GB of the round-4 OOM.
+        obs_tail_shape = obs.shape[2:]
+        obs_u32 = (obs.dtype == jnp.uint8
+                   and (obs.size // nbatch) % 4 == 0)
         if obs_u32:
-            flat_obs = jax.lax.bitcast_convert_type(
-                flat_obs.reshape(nbatch, -1, 4), jnp.uint32)
+            obs_src = jax.lax.bitcast_convert_type(
+                obs.reshape(nsteps, num_envs, -1, 4), jnp.uint32)
+        else:
+            obs_src = obs.reshape(nsteps, num_envs, -1)
+
+        def gather_rows(idx):
+            """idx [k] flat indices -> [k, ...] obs rows (one gather)."""
+            rows = obs_src[idx // num_envs, idx % num_envs]
+            if obs_u32:
+                rows = jax.lax.bitcast_convert_type(rows, jnp.uint8)
+            return rows.reshape((idx.shape[0],) + obs_tail_shape)
 
         def epoch_body(carry, ekey):
             params, opt_state = carry
@@ -187,14 +208,48 @@ def make_ppo(env_fns, *, network="cnn", lr=2.5e-4, cliprange=0.1,
             def mb_body(carry, i):
                 params, opt_state = carry
                 idx = jax.lax.dynamic_slice_in_dim(perm, i * mbsize, mbsize)
-                mb_obs = flat_obs[idx]
-                if obs_u32:
-                    mb_obs = jax.lax.bitcast_convert_type(
-                        mb_obs, jnp.uint8)
-                mb_obs = mb_obs.reshape((mbsize,) + obs_tail_shape)
-                mb = (mb_obs,) + tuple(x[idx] for x in batch[1:])
-                (loss, metrics), grads = jax.value_and_grad(
-                    _loss, has_aux=True)(params, mb, cliprnow)
+                if microbatches == 1:
+                    mb = (gather_rows(idx),) + tuple(x[idx] for x in batch)
+                    (loss, metrics), grads = jax.value_and_grad(
+                        _loss, has_aux=True)(params, mb, cliprnow)
+                else:
+                    # normalize advantages over the FULL minibatch, then
+                    # accumulate equal-chunk gradients (mean of chunk
+                    # means == minibatch mean); each micro-batch gathers
+                    # only its own obs rows, so activation AND gathered-
+                    # obs memory scale 1/microbatches
+                    mb_advs = batch[-1][idx]
+                    mb_advs = (mb_advs - mb_advs.mean()) \
+                        / (mb_advs.std() + 1e-8)
+
+                    def ub_body(acc, j):
+                        g_acc, m_acc = acc
+                        uidx = jax.lax.dynamic_slice_in_dim(
+                            idx, j * ubsize, ubsize)
+                        uadv = jax.lax.dynamic_slice_in_dim(
+                            mb_advs, j * ubsize, ubsize)
+                        ub = ((gather_rows(uidx),)
+                              + tuple(x[uidx] for x in batch[:-1])
+                              + (uadv,))
+                        (_, m), g = jax.value_and_grad(
+                            _loss, has_aux=True)(params, ub, cliprnow,
+                                                 normalize_adv=False)
+                        return (jax.tree_util.tree_map(jnp.add, g_acc, g),
+                                jax.tree_util.tree_map(jnp.add, m_acc, m)),\
+                            None
+
+                    g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+                    m0 = dict(policy_loss=0.0, value_loss=0.0,
+                              policy_entropy=0.0, approxkl=0.0,
+                              clipfrac=0.0)
+                    m0 = jax.tree_util.tree_map(jnp.float32, m0)
+                    (grads, metrics), _ = jax.lax.scan(
+                        ub_body, (g0, m0), jnp.arange(microbatches))
+                    inv = 1.0 / microbatches
+                    grads = jax.tree_util.tree_map(
+                        lambda x: x * inv, grads)
+                    metrics = jax.tree_util.tree_map(
+                        lambda x: x * inv, metrics)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 updates = jax.tree_util.tree_map(
                     lambda u: u * lrnow, updates)
@@ -242,7 +297,8 @@ def learn(*, env=None, game="breakout", num_envs=8, total_timesteps=10_000,
           lr=2.5e-4, cliprange=0.1, gamma=0.99, lam=0.95, ent_coef=0.01,
           vf_coef=0.5, max_grad_norm=0.5, log_interval=1, save_path=None,
           load_path=None, logger=None, mesh=None, network_kwargs=None,
-          checkpoint_path=None, checkpoint_freq=50, **extra):
+          checkpoint_path=None, checkpoint_freq=50, microbatches=1,
+          **extra):
     if network in ("lstm", "cnn_lstm", "cnn_lnlstm"):
         from toybox_tpu.rl.ppo_recurrent import learn as rlearn
         return rlearn(env=env, game=game, num_envs=num_envs,
@@ -267,7 +323,7 @@ def learn(*, env=None, game="breakout", num_envs=8, total_timesteps=10_000,
         nminibatches=nminibatches, noptepochs=noptepochs, gamma=gamma,
         lam=lam, ent_coef=ent_coef, vf_coef=vf_coef,
         max_grad_norm=max_grad_norm, total_updates=total_updates,
-        network_kwargs=network_kwargs)
+        network_kwargs=network_kwargs, microbatches=microbatches)
 
     state = init_fn(seed)
     if load_path is not None:
