@@ -97,6 +97,43 @@ def bench_pipeline(game: str = "breakout", n_envs: int = 1024,
     return _time_rollouts(rollout, state, key, frames_per_rep, reps)
 
 
+def bench_train(game: str = "breakout", n_envs: int = 1024,
+                reps: int = 3):
+    """End-to-end PPO train_step rate (engine frames/s) + MFU: the fused
+    rollout (step+render+preprocess+policy) and the full minibatched SGD
+    update at reference hyperparameters. MFU = XLA-counted program FLOPs
+    / wall / bf16 peak (f32 matmuls run as 3-pass bf16 on the MXU, so
+    their f32-effective peak is a third of that)."""
+    from toybox_tpu.envs.pipeline import make_rl_env
+    from toybox_tpu.rl.ppo import make_ppo
+    from toybox_tpu.utils.mfu import device_peak_flops, program_flops
+
+    env = make_rl_env(game, n_envs)
+    init_fn, train_step, _ = make_ppo(env, total_updates=100)
+    state = init_fn(0)
+    compiled = jax.jit(train_step, donate_argnums=(0,)).lower(
+        state).compile()
+    flops = program_flops(compiled)
+
+    state, m = compiled(state)
+    jax.block_until_ready(m)
+    frames = n_envs * 128 * env.frames_per_step
+    best_dt = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, m = compiled(state)
+        jax.block_until_ready(m)
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    peak = device_peak_flops()
+    out = {"train_frames_per_s": round(frames / best_dt, 1)}
+    if flops and peak:
+        ach = flops / best_dt
+        out["train_tflops_per_s"] = round(ach / 1e12, 2)
+        out["train_mfu_bf16_peak"] = round(ach / peak, 4)
+        out["train_mfu_f32_effective"] = round(3 * ach / peak, 4)
+    return out
+
+
 ALL_GAMES = ("breakout", "amidar", "space_invaders")
 
 
@@ -116,6 +153,7 @@ def main():
             "pipeline_frames_per_s": round(pipe_fps, 1),
             "vs_baseline": round(sps / BASELINE_STEPS_PER_S, 4),
         }
+        per_game[game].update(bench_train(game=game, n_envs=pipe_envs))
 
     # headline value: the LOWEST state-stepping rate across the games
     # benchmarked (every game must clear the north star, not just the best)
@@ -139,6 +177,11 @@ def main():
         "pipeline_envs": pipe_envs,
         "pipeline_measures": "fused step+render+maxpool+warp84+stack4, "
                              "skip=4, engine frames/s",
+        "train_measures": "end-to-end PPO train_step (rollout + "
+                          "minibatched SGD) engine frames/s at "
+                          f"{pipe_envs} envs; MFU = XLA program FLOPs / "
+                          "wall / chip peak (bf16 peak and f32-effective "
+                          "= peak/3 denominators)",
     }))
 
 

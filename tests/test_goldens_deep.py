@@ -303,20 +303,94 @@ def _si_controller():
 
 
 # ---------------------------------------------------------------------------
+# Intervention-perturbed start states (VERDICT round-4 item 7): the state
+# doctoring goes through the INTERVENTION API (ctx-manager write-back,
+# reference toybox/interventions/base.py:398-408), so these goldens pin
+# the write-then-step path the white-box experiments depend on.
+# ---------------------------------------------------------------------------
+
+def _breakout_iv_start_state(tb):
+    """3 bricks left + paddle shrunk, via BreakoutIntervention."""
+    from toybox_tpu.interventions.breakout import BreakoutIntervention
+
+    with BreakoutIntervention(tb) as iv:
+        for i, brick in enumerate(iv.game.bricks):
+            brick.alive = brick.row == 5 and brick.col in (4, 9, 14)
+    return tb.to_state_json()
+
+
+def _amidar_iv_start_state(tb):
+    """3 enemies switched to EnemyRandomMvmt via set_enemy_protocol (the
+    intervention-API form of _amidar_random_start_state)."""
+    from toybox_tpu.interventions.amidar import (AmidarIntervention,
+                                                 Direction, MovementAI,
+                                                 TilePoint)
+
+    with AmidarIntervention(tb) as iv:
+        for i in (1, 2, 3):
+            e = iv.game.enemies[i]
+            iv.set_enemy_protocol(
+                e, MovementAI.EnemyRandomMvmt,
+                start=TilePoint(iv, tx=int(e.position.x) // 64,
+                                ty=int(e.position.y) // 80),
+                start_dir=Direction(iv, "Up"),
+                dir=Direction(iv, "Up"))
+    return tb.to_state_json()
+
+
+def _si_iv_start_state(tb):
+    """Top half of shield 0 pre-eroded via SpaceInvadersIntervention."""
+    from toybox_tpu.interventions.space_invaders import \
+        SpaceInvadersIntervention
+
+    with SpaceInvadersIntervention(tb) as iv:
+        shield = iv.game.shields[0]
+        for ri, row in enumerate(shield.data):
+            if ri < len(shield.data) // 2:
+                for px in row:
+                    px.a = 0
+    return tb.to_state_json()
+
+
+# ---------------------------------------------------------------------------
 # Golden specs
 # ---------------------------------------------------------------------------
 
 def _specs():
     return [
+        # --- amidar: 3 seeds + 1 intervention-perturbed ---
         ("amidar_deep_s1234", "amidar", 1234, _amidar_controller, None,
          ("jump_at", "chase_at", "caught_at")),
         ("amidar_deep_s77", "amidar", 77, _amidar_controller,
          _amidar_random_start_state,
          ("jump_at", "chase_at", "caught_at")),
+        ("amidar_deep_s9001", "amidar", 9001, _amidar_controller,
+         _amidar_random_start_state,
+         ("jump_at", "chase_at", "caught_at")),
+        ("amidar_deep_iv", "amidar", 424242, _amidar_controller,
+         _amidar_iv_start_state,
+         ("jump_at", "chase_at", "caught_at")),
+        # --- breakout: 3 seeds + 1 intervention-perturbed ---
         ("breakout_deep_s1234", "breakout", 1234, _breakout_controller,
          _breakout_start_state, ("multi_ball_at", "level_clear_at")),
+        ("breakout_deep_s77", "breakout", 77, _breakout_controller,
+         _breakout_start_state, ("multi_ball_at", "level_clear_at")),
+        ("breakout_deep_s9001", "breakout", 9001, _breakout_controller,
+         _breakout_start_state, ("multi_ball_at", "level_clear_at")),
+        ("breakout_deep_iv", "breakout", 424242, _breakout_controller,
+         _breakout_iv_start_state, ("level_clear_at",)),
+        # --- space invaders: 3 seeds + 1 intervention-perturbed ---
         ("space_invaders_deep_s1234", "space_invaders", 1234,
          _si_controller, None,
+         ("shield_eroded_at", "ufo_spawned_at", "ufo_killed_at")),
+        ("space_invaders_deep_s77", "space_invaders", 77,
+         _si_controller, None,
+         ("shield_eroded_at", "ufo_spawned_at", "ufo_killed_at")),
+        ("space_invaders_deep_s9001", "space_invaders", 9001,
+         _si_controller, None,
+         ("shield_eroded_at", "ufo_spawned_at", "ufo_killed_at")),
+        ("space_invaders_deep_iv", "space_invaders", 424242,
+         _si_controller, _si_iv_start_state,
          ("shield_eroded_at", "ufo_spawned_at", "ufo_killed_at")),
     ]
 

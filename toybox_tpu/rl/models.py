@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Any, Callable, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -69,6 +70,72 @@ class NatureCNN(nn.Module):
         x = nn.Conv(64, (3, 3), strides=(1, 1), padding="VALID",
                     dtype=self.dtype)(x)
         x = nn.relu(x)
+        x = x.reshape((x.shape[0], -1))
+        x = nn.Dense(512, dtype=self.dtype)(x)
+        return nn.relu(x).astype(jnp.float32)
+
+
+class Im2ColCNN(nn.Module):
+    """NatureCNN with conv1 re-expressed as a LAYOUT-ONLY im2col (stride-4
+    8x8 windows = concatenation of adjacent 4-blocks, zero FLOPs) feeding
+    one big MXU matmul with a 256-deep contraction — a measured layout
+    attack on the f32 conv roofline (round-5 VERDICT item 2). Same math
+    as nn.Conv up to contraction order; params are NOT interchangeable
+    with 'cnn' checkpoints."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = _norm_obs(x, self.dtype)
+        n, h, w, c = x.shape          # 84, 84: 21 blocks of 4 each way
+        a = x.reshape(n, h // 4, 4, w // 4, 4, c)
+        # 8-wide stride-4 windows = pairs of adjacent 4-blocks
+        b = jnp.concatenate([a[:, :-1], a[:, 1:]], axis=2)   # [n,20,8,21,4,c]
+        p = jnp.concatenate([b[:, :, :, :-1], b[:, :, :, 1:]], axis=4)
+        p = p.transpose(0, 1, 3, 2, 4, 5).reshape(n, 20, 20, 8 * 8 * c)
+        w1 = self.param("conv1_kernel", nn.initializers.lecun_normal(),
+                        (8 * 8 * c, 32), self.dtype)
+        b1 = self.param("conv1_bias", nn.initializers.zeros, (32,),
+                        self.dtype)
+        x = nn.relu(p @ w1 + b1)
+        x = nn.relu(nn.Conv(64, (4, 4), strides=(2, 2), padding="VALID",
+                            dtype=self.dtype)(x))
+        x = nn.relu(nn.Conv(64, (3, 3), strides=(1, 1), padding="VALID",
+                            dtype=self.dtype)(x))
+        x = x.reshape((x.shape[0], -1))
+        x = nn.Dense(512, dtype=self.dtype)(x)
+        return nn.relu(x).astype(jnp.float32)
+
+
+class CoutPadCNN(nn.Module):
+    """NatureCNN with every conv's OUTPUT channels zero-padded to 128
+    lanes at apply time (kernels padded with zeros, outputs sliced back)
+    — bitwise-identical results, 2-4x the nominal FLOPs, full MXU output
+    lanes. A diagnostic layout attack: if wall-time is unchanged the
+    convs are lane-bound, if it scales with FLOPs they are flop-bound."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = _norm_obs(x, self.dtype)
+
+        def padded_conv(x, ch, k, s, name):
+            cin = x.shape[-1]
+            kern = self.param(f"{name}_kernel",
+                              nn.initializers.lecun_normal(),
+                              (k, k, cin, ch), self.dtype)
+            bias = self.param(f"{name}_bias", nn.initializers.zeros,
+                              (ch,), self.dtype)
+            kern = jnp.pad(kern, ((0, 0), (0, 0), (0, 0), (0, 128 - ch)))
+            y = jax.lax.conv_general_dilated(
+                x, kern, (s, s), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=self.dtype)
+            return y[..., :ch] + bias
+
+        x = nn.relu(padded_conv(x, 32, 8, 4, "c1"))
+        x = nn.relu(padded_conv(x, 64, 4, 2, "c2"))
+        x = nn.relu(padded_conv(x, 64, 3, 1, "c3"))
         x = x.reshape((x.shape[0], -1))
         x = nn.Dense(512, dtype=self.dtype)(x)
         return nn.relu(x).astype(jnp.float32)
@@ -163,6 +230,16 @@ def nature_cnn(**kwargs):
 @register("cnn_small")
 def cnn_small(**kwargs):
     return SmallCNN(**kwargs)
+
+
+@register("cnn_im2col")
+def cnn_im2col(**kwargs):
+    return Im2ColCNN(**kwargs)
+
+
+@register("cnn_coutpad")
+def cnn_coutpad(**kwargs):
+    return CoutPadCNN(**kwargs)
 
 
 @register("conv_only")
