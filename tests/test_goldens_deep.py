@@ -456,11 +456,18 @@ def test_facade_matches_batched_env():
                 f"facade/batched divergence at step {i + 1}")
 
 
-def regenerate():
+def regenerate(only=None):
+    """Regenerate all deep goldens, or just the names in ``only`` (or the
+    missing ones with only='missing')."""
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     from toybox_tpu import Toybox
 
     for name, game, seed, make_ctrl, make_start, required in _specs():
+        if only == "missing" and os.path.exists(
+                os.path.join(GOLDEN_DIR, f"{name}.json")):
+            continue
+        if isinstance(only, (list, set)) and name not in only:
+            continue
         start = None
         if make_start is not None:
             start = make_start(Toybox(game, seed=seed))
@@ -480,7 +487,10 @@ def regenerate():
 if __name__ == "__main__":
     # The JAX_PLATFORMS env var is overridden by the axon sitecustomize;
     # force CPU the supported way (same as tests/conftest.py).
+    import sys
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    regenerate()
+    regenerate(("missing" if sys.argv[1:] == ["--missing"]
+                else sys.argv[1:] or None))
