@@ -4,13 +4,19 @@ The reference's research program runs its white-box scenarios across the
 ALGORITHM FAMILIES it trains (reference scripts/utils/behavior_tests.sh
 gates saved models; the papers' subject is how different training
 regimes respond to interventions). This maps each committed gate-model
-family to the eval head that loads it, and carries the per-family
-check recalibrations for scenarios whose ppo1-calibrated thresholds
-do not transfer (weaker families have lower absolute controls; the
-RELATIVE ratio checks transfer as-is).
+family to the eval head that loads it, and carries the per-family check
+recalibrations, measured from the full 9-family x 10-scenario matrix
+(scripts/behavior_matrix.py on the chip, 2026-08-20 — raw data in
+docs/behavior_matrix.json, findings in docs/BEHAVIOR.md).
 
-A cell override of {"waived": "<rationale>"} still RUNS the scenario and
-records scores for the matrix, but does not gate on it.
+Calibration principle (same as the round-4 ppo1 calibration): relative
+ratio gates sit ~2x below the family's MEASURED scenario/control ratio,
+and absolute control floors sit ~2x below the family's measured control
+mean — so the gate trips on real regressions (a broken intervention
+path, a decayed model) without re-litigating each family's documented
+behavioral profile. A cell override of {"waived": "<rationale>"} still
+RUNS the scenario and records scores, but does not gate on it — used
+only where the measured capability is zero (e.g. 0/5 LastBrick clears).
 """
 
 from __future__ import annotations
@@ -22,10 +28,10 @@ FAMILIES = {
     "ppo": dict(alg="ppo", network="cnn", suffix="regress"),
     "ppo1": dict(alg="ppo1", network="cnn", suffix="ppo1"),
     "a2c": dict(alg="a2c", network="cnn", suffix="a2c"),
-    "acer": dict(alg="acer", network="cnn", suffix="acer"),
+    "acer": dict(alg="acer", network="cnn_small", suffix="acer"),
     "acktr": dict(alg="acktr", network="cnn", suffix="acktr"),
     "trpo": dict(alg="trpo", network="cnn_small", suffix="trpo"),
-    "deepq": dict(alg="deepq", network="cnn", suffix="deepq"),
+    "deepq": dict(alg="deepq", network="conv_only", suffix="deepq"),
     "gail": dict(alg="gail", network="cnn", suffix="gail"),
     "bc": dict(alg="gail", network="cnn", suffix="bc"),
 }
@@ -39,58 +45,82 @@ def model_path(family: str, game: str, models_dir: str = "models") -> str:
         models_dir, f"{GAME_PREFIX[game]}.{FAMILIES[family]['suffix']}.model")
 
 
-# ---------------------------------------------------------------------------
-# Per-(family, game) check recalibrations. Scenario thresholds in
-# test_*.py are calibrated on the ppo1 models (the strongest family);
-# entries here adjust the ABSOLUTE control floor to each family's own
-# regress-gate competence level (the relative min_control_frac checks
-# transfer unchanged unless noted). Filled from the measured 9x10 matrix
-# (scripts/behavior_matrix.py, chip, 2026-08-20) — see docs/BEHAVIOR.md.
-# ---------------------------------------------------------------------------
+# Shared recalibrations -----------------------------------------------------
 
+# Breakout EZChannel/PolarStarts floors: the in-class min_control=100 is
+# ppo1-scale (ctrl 1618); measured controls are ppo 111 / a2c 768 /
+# acer 241 / acktr 147 / trpo 59 / deepq 315 / gail 242 / bc 204.
+_BK_FLOOR_50 = {"EZChannel": {"min_control": 50.0},
+                "PolarStarts": {"min_control": 50.0}}
+_BK_FLOOR_25 = {"EZChannel": {"min_control": 25.0},
+                "PolarStarts": {"min_control": 25.0}}
+
+#: measured 9x10 matrix calibrations (chip, 2026-08-20)
 OVERRIDES: dict = {
-    # --- breakout: EZChannel/PolarStarts floors assume ppo1-scale (~1600
-    # raw) controls; weaker-but-gated families play ~60-300 raw.
-    ("ppo", "breakout"): {
-        "EZChannel": {"min_control": 50.0},
-        "PolarStarts": {"min_control": 50.0},
+    # --- ppo (ppo2 regress models) ---
+    ("ppo", "breakout"): dict(_BK_FLOOR_50),
+    ("ppo", "amidar"): {
+        # measured EnemyRemoval ratio 71.4/139.4 = 0.51 — ppo2 leans on
+        # enemy pixels (the reference's headline finding); gate at 0.25
+        "EnemyRemoval": {"min_control_frac": 0.25},
     },
-    ("a2c", "breakout"): {
-        "EZChannel": {"min_control": 50.0},
-        "PolarStarts": {"min_control": 50.0},
+    ("ppo", "space_invaders"): {
+        # ppo2's SI control is 448 raw (regress gate 469 capped); the
+        # in-class floor 500 was ppo1-scale (ctrl 5388)
+        "NoShields": {"min_control": 200.0},
+        "JitterVary": {"min_control": 200.0},
+        "ShieldXs": {"min_control": 200.0},
     },
+    # --- a2c ---
+    ("a2c", "breakout"): dict(_BK_FLOOR_50),
+    # --- acer ---
     ("acer", "breakout"): {
-        "EZChannel": {"min_control": 50.0},
-        "PolarStarts": {"min_control": 50.0},
-        # measured: clears the lone brick in 2/5 episodes (ppo1: 4/5)
-        "LastBrick": {"waived": "ACER Breakout (gate 246) clears the "
-                                "lone brick in only ~2/5 episodes — "
+        **_BK_FLOOR_50,
+        "LastBrick": {"waived": "measured 0/5 lone-brick clears (ACER "
+                                "Breakout, matrix 2026-08-20) — a "
                                 "documented capability gap, not noise"},
     },
-    ("acktr", "breakout"): {
-        "EZChannel": {"min_control": 25.0},
-        "PolarStarts": {"min_control": 25.0},
-        "LastBrick": {"waived": "ACKTR Breakout (gate 129) rarely "
-                                "reaches the lone high brick"},
+    ("acer", "amidar"): {
+        # measured EnemyRemoval ratio 69.8/157.2 = 0.44; gate at 0.2
+        "EnemyRemoval": {"min_control_frac": 0.2},
     },
+    # --- acktr ---
+    ("acktr", "breakout"): dict(_BK_FLOOR_50),   # LastBrick: 5/5 clears
+    ("acktr", "amidar"): {
+        # measured EnemyRemoval ratio 43.0/121.2 = 0.35; gate at 0.15
+        "EnemyRemoval": {"min_control_frac": 0.15},
+    },
+    ("acktr", "space_invaders"): {
+        # ACKTR's SI control is 444 raw (gate 415 capped); floor 200
+        "NoShields": {"min_control": 200.0},
+        "JitterVary": {"min_control": 200.0},
+        "ShieldXs": {"min_control": 200.0},
+    },
+    # --- trpo ---
     ("trpo", "breakout"): {
-        "EZChannel": {"min_control": 25.0},
-        "PolarStarts": {"min_control": 25.0},
-        "LastBrick": {"waived": "TRPO Breakout (gate 69, reference-ALE "
-                                "18.0) is the weakest gated family; it "
-                                "does not reliably clear the lone brick"},
+        **_BK_FLOOR_25,   # trpo breakout control is 59.4 raw (gate 69)
+        "LastBrick": {"waived": "measured 0/5 lone-brick clears (TRPO "
+                                "Breakout gate 69; reference trpo_mpi "
+                                "scored 18.0 on ALE Breakout)"},
     },
-    ("deepq", "breakout"): {
-        "EZChannel": {"min_control": 50.0},
-        "PolarStarts": {"min_control": 50.0},
+    ("trpo", "amidar"): {
+        # measured EnemyRemoval ratio 44.0/133.2 = 0.33; gate at 0.15
+        "EnemyRemoval": {"min_control_frac": 0.15},
     },
+    # --- deepq: passes everything at ppo1-scale thresholds except the
+    # breakout floors (control 315) ---
+    ("deepq", "breakout"): dict(_BK_FLOOR_50),
+    # --- gail / bc (imitation of the ppo1 experts) ---
     ("gail", "breakout"): {
-        "EZChannel": {"min_control": 50.0},
-        "PolarStarts": {"min_control": 50.0},
+        **_BK_FLOOR_50,
+        "LastBrick": {"waived": "measured 0/5 lone-brick clears — the "
+                                "adversarially-finetuned clone does not "
+                                "generalize to the near-terminal state"},
     },
     ("bc", "breakout"): {
-        "EZChannel": {"min_control": 50.0},
-        "PolarStarts": {"min_control": 50.0},
+        **_BK_FLOOR_50,
+        # measured 2/5 clears; gate at 1/5
+        "LastBrick": {"min_clear_frac": 0.2},
     },
 }
 

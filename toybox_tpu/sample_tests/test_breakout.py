@@ -48,11 +48,14 @@ class LastBrick(BehavioralFixture):
         return (tb.game_over()
                 or tb.rstate.breakout_bricks_remaining() == 0)
 
+    #: fraction of episodes that must clear the lone brick (families.py
+    #: recalibrates per family; measured ppo1 4/5, acktr 5/5, bc 2/5)
+    min_clear_frac = 0.5
+
     def check(self, scores, control=None):
-        # the lone brick is worth points, so score > 0 == cleared it;
-        # the agent must manage that in at least half the episodes
-        # (measured Breakout.ppo1.model, chip, 2026-08-20: 4/5 cleared)
-        return float(np.mean(np.asarray(scores) > 0)) >= 0.5
+        # the lone brick is worth points, so score > 0 == cleared it
+        return (float(np.mean(np.asarray(scores) > 0))
+                >= self.min_clear_frac)
 
 
 class PolarStarts(BehavioralFixture):
