@@ -106,14 +106,22 @@ def bench_train(game: str = "breakout", n_envs: int = 1024,
     their f32-effective peak is a third of that)."""
     from toybox_tpu.envs.pipeline import make_rl_env
     from toybox_tpu.rl.ppo import make_ppo
-    from toybox_tpu.utils.mfu import device_peak_flops, program_flops
+    from toybox_tpu.utils.mfu import (device_peak_flops, network_fwd_flops,
+                                      ppo_update_flops)
 
     env = make_rl_env(game, n_envs)
-    init_fn, train_step, _ = make_ppo(env, total_updates=100)
+    init_fn, train_step, act_fn = make_ppo(env, total_updates=100)
     state = init_fn(0)
     compiled = jax.jit(train_step, donate_argnums=(0,)).lower(
         state).compile()
-    flops = program_flops(compiled)
+    # analytic model FLOPs: XLA's cost analysis counts scan bodies once,
+    # so seed from one scan-free forward pass instead (utils/mfu.py)
+    fwd = network_fwd_flops(
+        act_fn, state.params,
+        jnp.zeros((256,) + tuple(env.obs_shape), jnp.uint8),
+        jax.random.PRNGKey(0))
+    flops = (ppo_update_flops(fwd, n_envs * 128, noptepochs=4)
+             if fwd else None)
 
     state, m = compiled(state)
     jax.block_until_ready(m)

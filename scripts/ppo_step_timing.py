@@ -25,7 +25,10 @@ variant = sys.argv[3] if len(sys.argv) > 3 else "f32"
 
 from toybox_tpu.envs.pipeline import make_rl_env  # noqa: E402
 from toybox_tpu.rl.ppo import make_ppo  # noqa: E402
-from toybox_tpu.utils.mfu import device_peak_flops, program_flops  # noqa: E402
+from toybox_tpu.utils.mfu import (device_peak_flops,  # noqa: E402
+                                  network_fwd_flops, ppo_update_flops)
+
+import jax.numpy as jnp  # noqa: E402
 
 env = make_rl_env(game, n_envs)
 kw = {}
@@ -37,12 +40,14 @@ elif variant == "coutpad":
     kw["network"] = "cnn_coutpad"
 elif variant.startswith("mb"):
     kw["microbatches"] = int(variant[2:])
-init_fn, train_step, _ = make_ppo(env, total_updates=100, **kw)
+init_fn, train_step, act_fn = make_ppo(env, total_updates=100, **kw)
 state = init_fn(0)
-lowered = jax.jit(train_step, donate_argnums=(0,)).lower(state)
-compiled = lowered.compile()
-flops = program_flops(compiled)
-step = compiled
+step = jax.jit(train_step, donate_argnums=(0,)).lower(state).compile()
+# analytic model FLOPs (XLA counts scan bodies once; see utils/mfu.py)
+fwd = network_fwd_flops(act_fn, state.params,
+                        jnp.zeros((256,) + tuple(env.obs_shape), jnp.uint8),
+                        jax.random.PRNGKey(0))
+flops = ppo_update_flops(fwd, n_envs * 128, noptepochs=4) if fwd else None
 
 state, m = step(state)
 jax.block_until_ready(m)

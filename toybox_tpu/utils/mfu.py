@@ -38,7 +38,15 @@ def device_peak_flops(device=None) -> Optional[float]:
 def program_flops(compiled) -> Optional[float]:
     """FLOPs XLA's cost analysis assigns to a compiled executable
     (jit(f).lower(*args).compile()); None when the backend reports no
-    cost model (e.g. some CPU builds)."""
+    cost model (e.g. some CPU builds).
+
+    CAVEAT: XLA counts while/scan BODIES ONCE (trip counts are not
+    multiplied in), so any scanned training step is undercounted —
+    measured on the chip: the PPO update reports 1.7 TFLOP where the
+    analytic count is ~32 (the 4-epoch x 4-minibatch SGD scan body
+    counted once). Use ``network_fwd_flops`` + ``ppo_update_flops`` for
+    training-step MFU; this function is only trustworthy for scan-free
+    programs."""
     try:
         ca = compiled.cost_analysis()
     except Exception:
@@ -49,3 +57,19 @@ def program_flops(compiled) -> Optional[float]:
         ca = ca[0] if ca else {}
     flops = ca.get("flops")
     return float(flops) if flops else None
+
+
+def network_fwd_flops(act_fn, params, obs, key) -> Optional[float]:
+    """Per-SAMPLE forward FLOPs, measured by compiling one scan-free
+    policy step on a batch (XLA's count is exact without loops)."""
+    compiled = jax.jit(act_fn).lower(params, obs, key).compile()
+    total = program_flops(compiled)
+    return None if total is None else total / obs.shape[0]
+
+
+def ppo_update_flops(fwd_flops_per_sample: float, nbatch: int,
+                     noptepochs: int) -> float:
+    """Analytic model FLOPs of one PPO update: the rollout runs every
+    sample forward once, each SGD epoch re-runs the whole batch forward
+    + backward (bwd = 2x fwd, the standard MFU convention)."""
+    return fwd_flops_per_sample * nbatch * (1.0 + 3.0 * noptepochs)
