@@ -7,12 +7,14 @@ import sys
 
 
 def test_bench_functions_tiny():
-    from bench import bench_env_steps, bench_pipeline
+    from bench import bench_env_steps, bench_pipeline, bench_train
 
     sps = bench_env_steps(game="breakout", n_envs=8, n_steps=4, reps=1)
     assert sps > 0
     fps = bench_pipeline(game="breakout", n_envs=8, n_steps=2, reps=1)
     assert fps > 0
+    train = bench_train(game="gridworld", n_envs=8, reps=1)
+    assert train["train_frames_per_s"] > 0
 
 
 def test_bench_cli_json_line(monkeypatch):
@@ -23,6 +25,9 @@ def test_bench_cli_json_line(monkeypatch):
     monkeypatch.setattr(bench, "bench_env_steps",
                         lambda **kw: 12_345_678.0)
     monkeypatch.setattr(bench, "bench_pipeline", lambda **kw: 1_000_000.0)
+    monkeypatch.setattr(bench, "bench_train",
+                        lambda **kw: {"train_frames_per_s": 450_000.0,
+                                      "train_mfu_bf16_peak": 0.14})
     monkeypatch.setattr(sys, "argv", ["bench.py"])
     bench.main()
     assert len(printed) == 1
