@@ -25,11 +25,12 @@ class EZChannel(BehavioralFixture):
             iv.add_channel(self.channel_col)
 
     min_control = 100.0  # measured ppo1 control mean ~1300-1600
+    min_control_frac = 0.25
 
     def check(self, scores, control=None):
         return (float(np.mean(control)) >= self.min_control
                 and float(np.mean(scores))
-                >= 0.25 * float(np.mean(control)))
+                >= self.min_control_frac * float(np.mean(control)))
 
 
 class LastBrick(BehavioralFixture):
@@ -68,6 +69,7 @@ class PolarStarts(BehavioralFixture):
     # 1618 -> ratio 0.81; gate at 0.25
 
     min_control = 100.0
+    min_control_frac = 0.25
 
     def intervene(self, tb):
         cfg = tb.config_to_json()
@@ -79,7 +81,7 @@ class PolarStarts(BehavioralFixture):
     def check(self, scores, control=None):
         return (float(np.mean(control)) >= self.min_control
                 and float(np.mean(scores))
-                >= 0.25 * float(np.mean(control)))
+                >= self.min_control_frac * float(np.mean(control)))
 
 
 SCENARIOS = [EZChannel, LastBrick, PolarStarts]
